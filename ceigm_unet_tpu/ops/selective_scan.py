@@ -1,0 +1,282 @@
+"""Selective-scan (Mamba S6) op, TPU-native.
+
+This is the TPU equivalent of the reference's CUDA extension family
+(``selective_scan_cuda_{core,oflex,ndstate}``, see reference
+``gm-unet/kernels/selective_scan/csrc/selective_scan/``). The recurrence is a
+first-order linear scan per (batch, dim, state) row:
+
+    a_t = exp(delta_t * A)            # (d, n)   decay
+    b_t = delta_t * u_t * B_t         # (d, n)   drive
+    h_t = a_t * h_{t-1} + b_t
+    y_t = sum_n C_{n,t} * h_{n,t} + D * u_t
+
+Because the combine ``(a2, b2) ∘ (a1, b1) = (a2*a1, a2*b1 + b2)`` is
+associative, the scan admits an exact log-depth / blockwise decomposition.
+Backends:
+
+- ``"assoc"``: ``jax.lax.associative_scan`` — exact, runs on CPU and TPU,
+  reference implementation and autodiff fallback.
+- ``"pallas"``: chunked Pallas TPU kernel (see ``scan_pallas.py``) mirroring
+  the CUDA kernel's 2048-token chunking with a carried (a, b) prefix
+  (reference ``selective_scan_oflex.cpp:218-220``), with in-chunk cumulative
+  products computed via MXU triangular matmuls.
+- ``"ref"``: sequential ``lax.scan`` — ground truth for tests.
+
+All backends accumulate in fp32 regardless of input dtype, matching the
+reference kernels (fp32 accumulators, ``selective_scan_oflex.cpp:327-328``).
+The ``out_dtype`` switch reproduces the "oflex" variant's fp32-output-from-
+low-precision-input capability (reference ``selective_scan_oflex.cpp:164``).
+API shapes follow the reference C API (``selective_scan_oflex.cpp:360``):
+
+    u, delta: (batch, dim, L)
+    A:        (dim, N)           fp32
+    B, C:     (batch, G, N, L)   (or (batch, N, L) -> G=1)
+    D:        (dim,) or None
+    delta_bias: (dim,) or None
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _combine(e1, e2):
+    """Associative combine for h_t = a_t * h_{t-1} + b_t."""
+    a1, b1 = e1
+    a2, b2 = e2
+    return a2 * a1, a2 * b1 + b2
+
+
+def _normalize_bc(x: jnp.ndarray) -> jnp.ndarray:
+    """(batch, N, L) -> (batch, 1, N, L); pass through 4-D."""
+    if x.ndim == 3:
+        return x[:, None]
+    return x
+
+
+def _prep(u, delta, A, B, C, D, delta_bias, delta_softplus):
+    """Common fp32 preprocessing shared by every backend.
+
+    Returns a_log-inputs expanded to (batch, dim, N, L) coefficient tensors.
+    """
+    B = _normalize_bc(B)
+    C = _normalize_bc(C)
+    batch, dim, L = u.shape
+    _, G, N, _ = B.shape
+    dg = dim // G  # dims per B/C group
+
+    uf = u.astype(jnp.float32)
+    dt = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        dt = dt + delta_bias.astype(jnp.float32)[None, :, None]
+    if delta_softplus:
+        dt = jax.nn.softplus(dt)
+
+    Af = A.astype(jnp.float32)  # (dim, N)
+    Bf = B.astype(jnp.float32)  # (batch, G, N, L)
+    Cf = C.astype(jnp.float32)
+    Df = D.astype(jnp.float32) if D is not None else None
+    return uf, dt, Af, Bf, Cf, Df, (batch, dim, G, N, dg, L)
+
+
+def _scan_coeffs(uf, dt, Af, Bf, shapes):
+    """Build (a, b) scan elements, shape (batch, dim, N, L)."""
+    batch, dim, G, N, dg, L = shapes
+    # a = exp(dt * A):  (b, d, l) x (d, n) -> (b, d, n, l)
+    a = jnp.exp(dt[:, :, None, :] * Af[None, :, :, None])
+    # b = dt * u * B: broadcast group B over its dg dims
+    du = dt * uf  # (b, d, l)
+    du = du.reshape(batch, G, dg, L)
+    b = du[:, :, :, None, :] * Bf[:, :, None, :, :]  # (b, G, dg, N, L)
+    b = b.reshape(batch, dim, N, L)
+    return a, b
+
+
+def _emit_y(h, Cf, uf, Df, shapes, out_dtype):
+    batch, dim, G, N, dg, L = shapes
+    hg = h.reshape(batch, G, dg, N, L)
+    y = jnp.einsum("bgdnl,bgnl->bgdl", hg, Cf).reshape(batch, dim, L)
+    if Df is not None:
+        y = y + Df[None, :, None] * uf
+    return y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Backends
+# ---------------------------------------------------------------------------
+
+def _scan_assoc(a, b):
+    """Exact log-depth scan over the last axis via associative_scan."""
+    ah, bh = jax.lax.associative_scan(_combine, (a, b), axis=-1)
+    return bh  # h_t (since h_0 = 0, the b-component of the prefix IS h)
+
+
+def _scan_ref(a, b):
+    """Sequential lax.scan over L — ground truth."""
+    def step(h, ab):
+        at, bt = ab
+        h = at * h + bt
+        return h, h
+    # move L to leading axis
+    a_t = jnp.moveaxis(a, -1, 0)
+    b_t = jnp.moveaxis(b, -1, 0)
+    h0 = jnp.zeros(a.shape[:-1], a.dtype)
+    _, hs = jax.lax.scan(step, h0, (a_t, b_t))
+    return jnp.moveaxis(hs, 0, -1)
+
+
+def _scan_dispatch(a, b, backend):
+    if backend == "ref":
+        return _scan_ref(a, b)
+    if backend == "pallas":
+        from ceigm_unet_tpu.ops.scan_pallas import scan_pallas
+        return scan_pallas(a, b)
+    return _scan_assoc(a, b)
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        dev = jax.devices()[0].platform
+        return "pallas" if dev == "tpu" else "assoc"
+    return backend
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP (recompute-based backward, mirroring the CUDA
+# design of per-chunk recomputation: nothing but the inputs is saved).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _selective_scan_core(u, delta, A, B, C, D, delta_bias,
+                         delta_softplus: bool, backend: str, out_dtype):
+    y, _ = _fwd_impl(u, delta, A, B, C, D, delta_bias,
+                     delta_softplus, backend, out_dtype)
+    return y
+
+
+def _fwd_impl(u, delta, A, B, C, D, delta_bias, delta_softplus, backend,
+              out_dtype):
+    uf, dt, Af, Bf, Cf, Df, shapes = _prep(
+        u, delta, A, B, C, D, delta_bias, delta_softplus)
+    a, b = _scan_coeffs(uf, dt, Af, Bf, shapes)
+    h = _scan_dispatch(a, b, backend)
+    y = _emit_y(h, Cf, uf, Df, shapes, out_dtype)
+    return y, h
+
+
+def _fwd_rule(u, delta, A, B, C, D, delta_bias, delta_softplus, backend,
+              out_dtype):
+    y = _selective_scan_core(u, delta, A, B, C, D, delta_bias,
+                             delta_softplus, backend, out_dtype)
+    return y, (u, delta, A, B, C, D, delta_bias)
+
+
+def _bwd_rule(delta_softplus, backend, out_dtype, res, gy):
+    u, delta, A, B, C, D, delta_bias = res
+    uf, dt, Af, Bf, Cf, Df, shapes = _prep(
+        u, delta, A, B, C, D, delta_bias, delta_softplus)
+    batch, dim, G, N, dg, L = shapes
+    gyf = gy.astype(jnp.float32)
+
+    # Recompute forward scan (mirrors CUDA bwd chunk-recompute,
+    # reference selective_scan_bwd_kernel_oflex.cuh:136-200).
+    a, b = _scan_coeffs(uf, dt, Af, Bf, shapes)
+    h = _scan_dispatch(a, b, backend)  # (batch, dim, N, L)
+
+    # dC: y_t = sum_{d in g} C_{g,n,t} h_{d,n,t}  (+ D u)
+    hg = h.reshape(batch, G, dg, N, L)
+    gyg = gyf.reshape(batch, G, dg, L)
+    dC = jnp.einsum("bgdnl,bgdl->bgnl", hg, gyg)
+
+    # Adjoint state g_t = C_t gy_t + a_{t+1} g_{t+1}: reverse first-order scan.
+    bt = Cf[:, :, None, :, :] * gyg[:, :, :, None, :]          # (b,G,dg,N,L)
+    bt = bt.reshape(batch, dim, N, L)
+    a_shift = jnp.concatenate(
+        [a[..., 1:], jnp.ones_like(a[..., :1])], axis=-1)       # â_t = a_{t+1}
+    g_rev = _scan_dispatch(jnp.flip(a_shift, -1), jnp.flip(bt, -1), backend)
+    g = jnp.flip(g_rev, -1)                                     # (b,d,n,L)
+
+    # h_{t-1}
+    h_prev = jnp.concatenate([jnp.zeros_like(h[..., :1]), h[..., :-1]], -1)
+
+    da = g * h_prev                   # dL/da_t
+    db = g                            # dL/db_t
+
+    # a = exp(dt A):   da -> ddt, dA
+    da_a = da * a
+    ddt_a = jnp.einsum("bdnl,dn->bdl", da_a, Af)
+    dA = jnp.einsum("bdnl,bdl->dn", da_a, dt)
+
+    # b = dt u B
+    dug = (dt * uf).reshape(batch, G, dg, L)
+    dbg = db.reshape(batch, G, dg, N, L)
+    dB = jnp.einsum("bgdnl,bgdl->bgnl", dbg, dug)
+    du_b = jnp.einsum("bgdnl,bgnl->bgdl", dbg, Bf)              # sum_n db * B
+    du_b = du_b.reshape(batch, dim, L)
+    ddt_b = du_b * uf
+    du = du_b * dt
+
+    ddt = ddt_a + ddt_b
+    if delta_softplus:
+        # chain through softplus: d/dx softplus(x) = sigmoid(x)
+        pre = delta.astype(jnp.float32)
+        if delta_bias is not None:
+            pre = pre + delta_bias.astype(jnp.float32)[None, :, None]
+        ddt = ddt * jax.nn.sigmoid(pre)
+    ddelta_bias = (jnp.sum(ddt, axis=(0, 2)) if delta_bias is not None
+                   else None)
+
+    if Df is not None:
+        dD = jnp.einsum("bdl,bdl->d", gyf, uf)
+        du = du + Df[None, :, None] * gyf
+    else:
+        dD = None
+
+    def cast(x, ref):
+        return None if x is None else x.astype(ref.dtype)
+
+    # B/C may have been passed 3-D; reshape grads back.
+    dBo = dB if B.ndim == 4 else dB[:, 0]
+    dCo = dC if C.ndim == 4 else dC[:, 0]
+    return (cast(du, u), cast(ddt, delta), cast(dA, A), cast(dBo, B),
+            cast(dCo, C), cast(dD, D) if D is not None else None,
+            cast(ddelta_bias, delta_bias) if delta_bias is not None else None)
+
+
+_selective_scan_core.defvjp(_fwd_rule, _bwd_rule)
+
+
+def selective_scan(
+    u: jnp.ndarray,
+    delta: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    D: Optional[jnp.ndarray] = None,
+    delta_bias: Optional[jnp.ndarray] = None,
+    delta_softplus: bool = False,
+    return_last_state: bool = False,
+    backend: str = "auto",
+    out_dtype=None,
+):
+    """Selective scan with the reference CUDA-extension semantics.
+
+    ``out_dtype=jnp.float32`` with low-precision inputs reproduces the
+    "oflex" variant; ``out_dtype=None`` keeps the input dtype ("core").
+    """
+    backend = _resolve_backend(backend)
+    if out_dtype is None:
+        out_dtype = u.dtype
+    y = _selective_scan_core(u, delta, A, B, C, D, delta_bias,
+                             delta_softplus, backend, out_dtype)
+    if return_last_state:
+        # Last state is off the training hot path (used by tests / serving
+        # preemption); recompute via the plain fwd impl.
+        _, h = _fwd_impl(u, delta, A, B, C, D, delta_bias,
+                         delta_softplus, backend, out_dtype)
+        batch, dim, L = u.shape
+        return y, h[..., -1].reshape(batch, dim, -1)
+    return y
