@@ -1,0 +1,240 @@
+"""SS2D — 2-D selective-scan modules (channel-last, TPU-first).
+
+Two flavors cover the reference's live configurations:
+
+- :class:`SS2D`: the VMamba-style op — K scan directions over the *full*
+  channel set, stacked projection weights, one fused scan call.
+  Reference: SS2Dv2.forward_corev2 (gm-unet/model/gm/ss2d.py:349-519,
+  model/vmamba/vmamba.py:356-720). Supports the live forward-type tags
+  ``v2`` (z-gate, fp32) and ``v05_noz`` (no z-gate, oflex fp32 out).
+- :class:`QuadGroupSS2D`: the GroupMamba "modulated group mamba" inner op —
+  channels split into 4 groups, group k scanned in direction k
+  (reference: 4 separate SS2D modules + CrossScan_1..4,
+  gm-unet/model/gm/groupmamba.py:99-146). Here the 4 groups are *fused into
+  a single selective-scan call* using the scan op's group dimension, with
+  all projections batched over groups via einsum — one MXU-friendly op
+  instead of 4 kernel launches.
+
+Weight layouts deliberately match the torch parameter stacking
+(``x_proj_weight`` (K, R+2N, D), ``dt_projs_weight`` (K, D, R), ``A_logs``
+(K*D, N), gm-unet/model/gm/ss2d.py:309-335) so checkpoint conversion is a
+reshape-free copy.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ceigm_unet_tpu.ops.selective_scan import selective_scan
+from ceigm_unet_tpu.ops.cross_scan import cross_scan_1d, cross_merge_1d
+from ceigm_unet_tpu.utils.initializers import (
+    trunc_normal, torch_linear_default, uniform_sym, dt_bias_init,
+    s4d_a_log_init, conv_fan_out_normal_grouped)
+
+
+def ssm_scan_core(
+    xs: jnp.ndarray,            # (B, K, D, L) post-conv activations
+    x_proj_w: jnp.ndarray,      # (K, R + 2N, D)
+    dt_w: jnp.ndarray,          # (K, D, R)
+    dt_b: jnp.ndarray,          # (K, D)
+    A_logs: jnp.ndarray,        # (K * D, N)
+    Ds: jnp.ndarray,            # (K * D,)
+    d_state: int,
+    dt_rank: int,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Project, scan, return ys (B, K, D, L) in fp32.
+
+    Equivalent of forward_corev2's einsum path (ss2d.py:459-484), with the
+    K direction/group axis folded into the scan's group dimension so the
+    whole thing is ONE selective-scan invocation.
+    """
+    B_, K, D, L = xs.shape
+    N = d_state
+    R = dt_rank
+
+    x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs, x_proj_w)
+    dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=2)
+    dts = jnp.einsum("bkrl,kdr->bkdl", dts, dt_w)
+
+    u = xs.reshape(B_, K * D, L)
+    delta = dts.reshape(B_, K * D, L)
+    A = -jnp.exp(A_logs.astype(jnp.float32))
+    ys = selective_scan(
+        u, delta, A, Bs, Cs, Ds, dt_b.reshape(-1),
+        delta_softplus=True, backend=backend, out_dtype=jnp.float32)
+    return ys.reshape(B_, K, D, L)
+
+
+class _SSMParams(nn.Module):
+    """Shared parameter bundle for the stacked SSM projections."""
+    k: int
+    d_inner: int
+    d_state: int
+    dt_rank: int
+
+    def setup(self):
+        K, D, N, R = self.k, self.d_inner, self.d_state, self.dt_rank
+        self.x_proj_weight = self.param(
+            "x_proj_weight", torch_linear_default_stacked(D), (K, R + 2 * N, D))
+        self.dt_projs_weight = self.param(
+            "dt_projs_weight", uniform_sym(R ** -0.5), (K, D, R))
+        self.dt_projs_bias = self.param("dt_projs_bias", dt_bias_init(),
+                                        (K, D))
+        self.A_logs = self.param("A_logs", s4d_a_log_init(), (K * D, N))
+        self.Ds = self.param("Ds", nn.initializers.ones, (K * D,))
+
+
+def torch_linear_default_stacked(fan_in: int):
+    """Torch nn.Linear default init for weights stored (out, in)-style."""
+    def init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class SS2D(nn.Module):
+    """VMamba-flavor SS2D: K directions over full channels, fused scan.
+
+    ``forward_type`` live values: "v2" (z-gate) and "v05_noz" (no z-gate);
+    the reference distinction SelectiveScanCore vs Oflex collapses here —
+    every backend computes fp32 internally and emits fp32 pre-norm.
+    """
+    d_model: int
+    d_state: int = 1
+    ssm_ratio: float = 1.0
+    dt_rank: str | int = "auto"
+    d_conv: int = 3
+    conv_bias: bool = True
+    bias: bool = False
+    forward_type: str = "v2"
+    directions: Sequence[int] = (1, 2, 3, 4)
+    scan_backend: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, d_model)
+        tag = self.forward_type
+        disable_z = tag.endswith("_noz")
+        d_inner = int(self.ssm_ratio * self.d_model)
+        R = (math.ceil(self.d_model / 16) if self.dt_rank == "auto"
+             else int(self.dt_rank))
+        K = len(self.directions)
+        B_, H, W, _ = x.shape
+        L = H * W
+
+        d_proj = d_inner if disable_z else 2 * d_inner
+        xz = nn.Dense(d_proj, use_bias=self.bias, kernel_init=trunc_normal(),
+                      dtype=self.dtype, name="in_proj")(x)
+        if disable_z:
+            xc, z = xz, None
+        else:
+            xc, z = jnp.split(xz, 2, axis=-1)
+            z = nn.silu(z)
+
+        if self.d_conv > 1:
+            xc = nn.Conv(d_inner, (self.d_conv, self.d_conv), padding="SAME",
+                         feature_group_count=d_inner, use_bias=self.conv_bias,
+                         kernel_init=conv_fan_out_normal_grouped(d_inner),
+                         dtype=self.dtype, name="conv2d")(xc)
+        xc = nn.silu(xc)
+
+        xs = jnp.stack([cross_scan_1d(xc, k) for k in self.directions],
+                       axis=1)  # (B, K, D, L)
+
+        p = _SSMParams(k=K, d_inner=d_inner, d_state=self.d_state,
+                       dt_rank=R, name="ssm")
+        ys = ssm_scan_core(xs, p.x_proj_weight, p.dt_projs_weight,
+                           p.dt_projs_bias, p.A_logs, p.Ds,
+                           self.d_state, R, self.scan_backend)
+
+        y = sum(cross_merge_1d(ys[:, i], k, H, W)
+                for i, k in enumerate(self.directions))  # (B, H, W, D) sum-merge
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm")(y)
+        y = y.astype(self.dtype)
+        if z is not None:
+            y = y * z
+        return nn.Dense(self.d_model, use_bias=self.bias,
+                        kernel_init=trunc_normal(), dtype=self.dtype,
+                        name="out_proj")(y)
+
+
+class QuadGroupSS2D(nn.Module):
+    """Four channel-groups, each selective-scanned in its own direction —
+    fused into one scan call (the TPU rebuild of GroupMambaLayer's
+    mamba_g1..g4, gm-unet/model/gm/groupmamba.py:99-146).
+
+    Input/Output: (B, H, W, C). Per-group d_model = C // 4, and with the
+    live config (ssm_ratio=1) d_inner == d_model_per_group.
+    """
+    dim: int
+    d_state: int = 1
+    ssm_ratio: float = 1.0
+    d_conv: int = 3
+    conv_bias: bool = True
+    scan_backend: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+    directions: Sequence[int] = (1, 2, 3, 4)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        K = len(self.directions)
+        dg = self.dim // K                      # per-group d_model
+        d_inner = int(self.ssm_ratio * dg)
+        R = math.ceil(dg / 16)
+        B_, H, W, C = x.shape
+        L = H * W
+
+        xg = x.reshape(B_, H, W, K, dg)
+
+        # per-group in_proj (stacked): (K, dg, 2*d_inner)
+        w_in = self.param("in_proj_weight", trunc_normal(),
+                          (K, dg, 2 * d_inner))
+        xz = jnp.einsum("bhwkc,kcd->bhwkd", xg.astype(self.dtype),
+                        w_in.astype(self.dtype))
+        xc, z = jnp.split(xz, 2, axis=-1)
+        z = nn.silu(z)
+
+        # stacked depthwise conv == one depthwise conv over K*d_inner chans
+        xc = xc.reshape(B_, H, W, K * d_inner)
+        xc = nn.Conv(K * d_inner, (self.d_conv, self.d_conv), padding="SAME",
+                     feature_group_count=K * d_inner, use_bias=self.conv_bias,
+                     kernel_init=conv_fan_out_normal_grouped(K * d_inner),
+                     dtype=self.dtype, name="conv2d")(xc)
+        xc = nn.silu(xc)
+        xc = xc.reshape(B_, H, W, K, d_inner)
+
+        # direction-k scan layout for group k
+        xs = jnp.stack(
+            [cross_scan_1d(xc[:, :, :, i], k)
+             for i, k in enumerate(self.directions)], axis=1)  # (B,K,D,L)
+
+        p = _SSMParams(k=K, d_inner=d_inner, d_state=self.d_state,
+                       dt_rank=R, name="ssm")
+        ys = ssm_scan_core(xs, p.x_proj_weight, p.dt_projs_weight,
+                           p.dt_projs_bias, p.A_logs, p.Ds,
+                           self.d_state, R, self.scan_backend)
+
+        # inverse layout per group, then per-group LayerNorm + gate + proj
+        yg = jnp.stack(
+            [cross_merge_1d(ys[:, i], k, H, W)
+             for i, k in enumerate(self.directions)], axis=3)  # (B,H,W,K,D)
+
+        ln_scale = self.param("out_norm_scale", nn.initializers.ones,
+                              (K, d_inner))
+        ln_bias = self.param("out_norm_bias", nn.initializers.zeros,
+                             (K, d_inner))
+        yg = yg.astype(jnp.float32)
+        mu = jnp.mean(yg, axis=-1, keepdims=True)
+        var = jnp.var(yg, axis=-1, keepdims=True)
+        yg = (yg - mu) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
+        yg = yg.astype(self.dtype) * z
+
+        w_out = self.param("out_proj_weight", trunc_normal(),
+                           (K, d_inner, dg))
+        out = jnp.einsum("bhwkd,kdc->bhwkc", yg, w_out.astype(self.dtype))
+        return out.reshape(B_, H, W, C)

@@ -1,0 +1,7 @@
+class _Constexpr:
+    def __getitem__(self, item):
+        return self
+constexpr = _Constexpr()
+def _noop(*a, **k):
+    raise RuntimeError("triton stub: kernels cannot run")
+program_id = arange = load = store = _noop
