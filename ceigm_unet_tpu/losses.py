@@ -1,0 +1,111 @@
+"""Segmentation losses (reference gm-unet/loss.py).
+
+Semantics preserved exactly:
+- soft Dice with smooth=1e-5, computed *globally over the whole batch* per
+  class (reference binary_dice_loss sums over b,h,w — loss.py:20-32), then
+  averaged over ALL classes including background (loss.py:49-54).
+- DiceCELoss: target (B, 1, H, W); channel squeezed; CE on integer labels
+  (mean over pixels) * ce_weight + dice * dc_weight (loss.py:72-97). The
+  live training config is ce 0.4 / dice 0.6 (train_synapse.py:89-95).
+- DiceFocalLoss: softmax focal (monai semantics: include_background,
+  one-hot target, mean reduction) + dice (loss.py:99-129).
+
+All functional, jit-friendly; logits (B, H, W, C) channel-last, labels
+(B, H, W) integer.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def one_hot(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """(B, H, W) int -> (B, H, W, C) float."""
+    return jax.nn.one_hot(labels.astype(jnp.int32), num_classes,
+                          dtype=jnp.float32)
+
+
+def multiclass_dice_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                         weight: Optional[jnp.ndarray] = None,
+                         apply_softmax: bool = True) -> jnp.ndarray:
+    num_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1) if apply_softmax else logits
+    probs = probs.astype(jnp.float32)
+    target = one_hot(labels, num_classes)
+    smooth = 1e-5
+    # global (batch-wide) per-class sums — reference convention
+    intersect = jnp.sum(probs * target, axis=(0, 1, 2))
+    z = jnp.sum(probs * probs, axis=(0, 1, 2))
+    y = jnp.sum(target * target, axis=(0, 1, 2))
+    dice = 1.0 - (2.0 * intersect + smooth) / (z + y + smooth)
+    if weight is not None:
+        dice = dice * weight
+    return jnp.mean(dice)
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       class_weights: Optional[jnp.ndarray] = None
+                       ) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
+                             axis=-1)[..., 0]
+    if class_weights is None:
+        return -jnp.mean(ll)
+    w = class_weights[labels.astype(jnp.int32)]
+    return -jnp.sum(ll * w) / jnp.sum(w)
+
+
+def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray, gamma: float = 2.0,
+               alpha: Optional[float] = None) -> jnp.ndarray:
+    """Softmax focal loss, monai FocalLoss semantics (include_background,
+    to_onehot_y, use_softmax, mean reduction)."""
+    num_classes = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    p = jnp.exp(logp)
+    target = one_hot(labels, num_classes)
+    fl = -target * ((1.0 - p) ** gamma) * logp
+    if alpha is not None:
+        fl = fl * alpha
+    return jnp.mean(fl)
+
+
+def dice_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                 ce_weight: float = 1.0, dc_weight: float = 1.0,
+                 ce_class_weights: Optional[jnp.ndarray] = None,
+                 dc_class_weights: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
+    return (cross_entropy_loss(logits, labels, ce_class_weights) * ce_weight
+            + multiclass_dice_loss(logits, labels, dc_class_weights)
+            * dc_weight)
+
+
+def dice_focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                    fl_weight: float = 1.0, dc_weight: float = 1.0,
+                    gamma: float = 2.0, alpha: Optional[float] = None
+                    ) -> jnp.ndarray:
+    return (focal_loss(logits, labels, gamma, alpha) * fl_weight
+            + multiclass_dice_loss(logits, labels) * dc_weight)
+
+
+def make_loss(name: str = "DiceCELoss", **kwargs):
+    """Registry-style factory (reference LOSSES, loss.py:132-135)."""
+    if name == "DiceCELoss":
+        ce_w = kwargs.pop("ce_weight", 1.0)
+        dc_w = kwargs.pop("dc_weight", 1.0)
+        return lambda logits, labels: dice_ce_loss(
+            logits, labels, ce_w, dc_w, **kwargs)
+    if name == "DiceFocalLoss":
+        fl_w = kwargs.pop("fl_weight", 1.0)
+        dc_w = kwargs.pop("dc_weight", 1.0)
+        return lambda logits, labels: dice_focal_loss(
+            logits, labels, fl_w, dc_w, **kwargs)
+    if name == "DiceLoss":
+        return lambda logits, labels: multiclass_dice_loss(
+            logits, labels, **kwargs)
+    raise KeyError(f"unknown loss {name!r}")
+
+
+LOSSES = {"DiceCELoss": dice_ce_loss, "DiceFocalLoss": dice_focal_loss,
+          "DiceLoss": multiclass_dice_loss}
