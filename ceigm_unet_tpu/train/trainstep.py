@@ -1,0 +1,111 @@
+"""Jitted training step with data-parallel sharding.
+
+Replaces the reference's Lightning training_step + implicit DDP capability
+(gm-unet/train_synapse.py:140-151, SURVEY.md §2.14). One compiled function
+covers: forward (mutable BatchNorm stats), DiceCE loss, backward, AdamW +
+cosine LR, and the 10-epoch encoder freeze — the freeze flag is traced, so
+no recompilation happens at the freeze/unfreeze epoch boundary.
+
+Freeze semantics vs torch: the reference sets requires_grad=False, so frozen
+params get no grads, no moments, and no weight decay. Here encoder grads
+AND final updates are zeroed while frozen — moments stay exactly 0 (they
+start at 0 and decay of 0 is 0) and no decay is applied, matching torch up
+to Adam's global step counter used for bias correction (documented in
+docs/PARITY.md).
+
+Data parallelism: jit the returned step with batch sharded over the mesh's
+"data" axis and state replicated; XLA inserts the psum grad all-reduce.
+BatchNorm batch means become global (sync-BN) automatically.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ceigm_unet_tpu.losses import dice_ce_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def cosine_lr(base_lr: float, eta_min: float, t_max: int,
+              steps_per_epoch: int) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """torch CosineAnnealingLR stepped per-epoch (reference
+    train_synapse.py:111-114)."""
+    def schedule(step):
+        epoch = jnp.floor_divide(step, steps_per_epoch).astype(jnp.float32)
+        return eta_min + (base_lr - eta_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * epoch / t_max))
+    return schedule
+
+
+def make_optimizer(lr_schedule, weight_decay: float
+                   ) -> optax.GradientTransformation:
+    """AdamW matching torch defaults (betas 0.9/0.999, eps 1e-8). The
+    reference passes all params in one group (train_synapse.py:102-108), so
+    weight decay applies uniformly; the _no_weight_decay markers in
+    mamba_init are unused there, and likewise here."""
+    return optax.adamw(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=weight_decay)
+
+
+def create_train_state(model, rng, sample_input, tx) -> TrainState:
+    variables = model.init(rng, sample_input, train=False)
+    return TrainState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables.get("batch_stats", {}),
+                      opt_state=tx.init(variables["params"]), tx=tx)
+
+
+def _encoder_mask(params) -> Any:
+    """Params-shaped pytree: True on leaves under the top-level 'encoder'."""
+    return {k: jax.tree.map(lambda _: k == "encoder", v)
+            for k, v in params.items()}
+
+
+def make_train_step(model, ce_weight: float = 0.4, dc_weight: float = 0.6,
+                    loss_fn: Optional[Callable] = None):
+    """Returns ``train_step(state, batch, rng, freeze_encoder) ->
+    (state, metrics)``; batch = {"image": (B,H,W,1|3), "label": (B,H,W)}."""
+    if loss_fn is None:
+        loss_fn = functools.partial(dice_ce_loss, ce_weight=ce_weight,
+                                    dc_weight=dc_weight)
+
+    def compute_loss(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, mutated = model.apply(
+            variables, batch["image"], train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng})
+        loss = loss_fn(logits, batch["label"])
+        return loss, mutated["batch_stats"]
+
+    def train_step(state: TrainState, batch, rng, freeze_encoder):
+        (loss, new_stats), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(
+                state.params, state.batch_stats, batch, rng)
+
+        mask = _encoder_mask(state.params)
+        grads = jax.tree.map(
+            lambda g, m: jnp.where(jnp.logical_and(freeze_encoder, m),
+                                   jnp.zeros_like(g), g), grads, mask)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        updates = jax.tree.map(
+            lambda u, m: jnp.where(jnp.logical_and(freeze_encoder, m),
+                                   jnp.zeros_like(u), u), updates, mask)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, {"loss": loss}
+
+    return train_step
