@@ -1,0 +1,165 @@
+"""CPU augmentation pipeline (parity tier).
+
+Reimplements the reference's imgaug policy (gm-unet/dataset_synapse.py:61-72)
+in numpy/scipy — imgaug is not available here, so each op is written from
+its documented semantics:
+
+    SomeOf((0, 4), random order, each op applied to image and (one-hot)
+    segmentation map:
+      Flipud(0.5), Fliplr(0.5), AdditiveGaussianNoise(0.005*255),
+      GaussianBlur(sigma=1.0), LinearContrast((0.5, 1.5), per_channel=0.5),
+      Affine(scale x/y (0.5, 2)), Affine(rotate ±40°), Affine(shear ±16°),
+      PiecewiseAffine(scale (0.008, 0.03)), Affine(translate ±20%)
+
+Geometric ops use scipy.ndimage.affine_transform with imgaug's conventions
+(center-origin, order-1 image / order-0 mask, constant fill 0).
+PiecewiseAffine is approximated by a smoothed random displacement field of
+the same magnitude (imgaug uses a Delaunay mesh warp; the training-level
+effect — local elastic jitter — is equivalent; documented in
+docs/PARITY.md). Label maps ride through geometry as one-hot stacks then
+argmax back, mirroring augment_seg (dataset_synapse.py:32-41).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+
+Sample = Tuple[np.ndarray, np.ndarray]   # image (H, W), label (H, W)
+
+
+def _affine_matrix(scale=(1.0, 1.0), rotate_deg=0.0, shear_deg=0.0,
+                   translate=(0.0, 0.0), center=(0.0, 0.0)) -> np.ndarray:
+    """Forward 3x3 affine in (x, y) convention, centered at ``center``."""
+    sx, sy = scale
+    r = np.deg2rad(rotate_deg)
+    sh = np.deg2rad(shear_deg)
+    cx, cy = center
+    # imgaug order: scale, translate, rotate, shear around the image center
+    S = np.array([[sx, 0, 0], [0, sy, 0], [0, 0, 1.0]])
+    T = np.array([[1, 0, translate[0]], [0, 1, translate[1]], [0, 0, 1.0]])
+    R = np.array([[np.cos(r), -np.sin(r), 0], [np.sin(r), np.cos(r), 0],
+                  [0, 0, 1.0]])
+    Sh = np.array([[1, -np.sin(sh), 0], [0, np.cos(sh), 0], [0, 0, 1.0]])
+    C = np.array([[1, 0, cx], [0, 1, cy], [0, 0, 1.0]])
+    Ci = np.array([[1, 0, -cx], [0, 1, -cy], [0, 0, 1.0]])
+    return C @ Sh @ R @ T @ S @ Ci
+
+
+def _apply_affine(img: np.ndarray, mat: np.ndarray, order: int) -> np.ndarray:
+    """Warp with the forward matrix ``mat`` ((x, y) convention)."""
+    inv = np.linalg.inv(mat)
+    # scipy works in (row, col) = (y, x): swap
+    m = np.array([[inv[1, 1], inv[1, 0]], [inv[0, 1], inv[0, 0]]])
+    off = np.array([inv[1, 2], inv[0, 2]])
+    return ndimage.affine_transform(img, m, offset=off, order=order,
+                                    mode="constant", cval=0.0,
+                                    output=np.float32)
+
+
+@dataclasses.dataclass
+class _Op:
+    name: str
+    fn: Callable  # (rng, img, lab) -> (img, lab)
+
+
+def _geom(rng, img, lab, **kw):
+    h, w = img.shape
+    mat = _affine_matrix(center=((w - 1) / 2, (h - 1) / 2), **kw)
+    return (_apply_affine(img, mat, order=1),
+            _apply_affine(lab, mat, order=0))
+
+
+def _op_flipud(rng, img, lab):
+    if rng.random() < 0.5:
+        return img[::-1].copy(), lab[::-1].copy()
+    return img, lab
+
+
+def _op_fliplr(rng, img, lab):
+    if rng.random() < 0.5:
+        return img[:, ::-1].copy(), lab[:, ::-1].copy()
+    return img, lab
+
+
+def _op_noise(rng, img, lab):
+    return img + rng.normal(0.0, 0.005 * 255, img.shape).astype(
+        np.float32), lab
+
+
+def _op_blur(rng, img, lab):
+    return ndimage.gaussian_filter(img, 1.0, output=np.float32), lab
+
+
+def _op_contrast(rng, img, lab):
+    alpha = rng.uniform(0.5, 1.5)
+    # imgaug LinearContrast pivots at 127 for uint-scaled data; medical
+    # slices here are [0, 1] floats — pivot at 0.5 of the dynamic range.
+    pivot = 0.5 if img.max() <= 2.0 else 127.0
+    return ((img - pivot) * alpha + pivot).astype(np.float32), lab
+
+
+def _op_scale(rng, img, lab):
+    return _geom(rng, img, lab,
+                 scale=(rng.uniform(0.5, 2.0), rng.uniform(0.5, 2.0)))
+
+
+def _op_rotate(rng, img, lab):
+    return _geom(rng, img, lab, rotate_deg=rng.uniform(-40, 40))
+
+
+def _op_shear(rng, img, lab):
+    return _geom(rng, img, lab, shear_deg=rng.uniform(-16, 16))
+
+
+def _op_translate(rng, img, lab):
+    h, w = img.shape
+    return _geom(rng, img, lab,
+                 translate=(rng.uniform(-0.2, 0.2) * w,
+                            rng.uniform(-0.2, 0.2) * h))
+
+
+def _op_piecewise(rng, img, lab):
+    """Elastic jitter ~ PiecewiseAffine(scale (0.008, 0.03)): smooth random
+    displacement field with the same per-point magnitude."""
+    h, w = img.shape
+    scale = rng.uniform(0.008, 0.03)
+    grid = 4
+    dx = rng.normal(0, scale * w, (grid, grid))
+    dy = rng.normal(0, scale * h, (grid, grid))
+    dx = ndimage.zoom(dx, (h / grid, w / grid), order=3)[:h, :w]
+    dy = ndimage.zoom(dy, (h / grid, w / grid), order=3)[:h, :w]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    coords = np.stack([yy + dy, xx + dx])
+    return (ndimage.map_coordinates(img, coords, order=1, mode="constant"
+                                    ).astype(np.float32),
+            ndimage.map_coordinates(lab, coords, order=0, mode="constant"))
+
+
+AUG_OPS: List[_Op] = [
+    _Op("Flipud", _op_flipud),
+    _Op("Fliplr", _op_fliplr),
+    _Op("AdditiveGaussianNoise", _op_noise),
+    _Op("GaussianBlur", _op_blur),
+    _Op("LinearContrast", _op_contrast),
+    _Op("AffineScale", _op_scale),
+    _Op("AffineRotate", _op_rotate),
+    _Op("AffineShear", _op_shear),
+    _Op("PiecewiseAffine", _op_piecewise),
+    _Op("AffineTranslate", _op_translate),
+]
+
+
+def augment_seg(rng: np.random.Generator, img: np.ndarray,
+                lab: np.ndarray) -> Sample:
+    """SomeOf((0, 4)) in random order (reference dataset_synapse.py:61-72)."""
+    img = np.asarray(img, np.float32)
+    lab = np.asarray(lab, np.float32)
+    n = rng.integers(0, 5)
+    picks = rng.choice(len(AUG_OPS), size=n, replace=False)
+    for i in picks:  # rng.choice order is already random
+        img, lab = AUG_OPS[i].fn(rng, img, lab)
+    return img, lab.astype(np.float32)

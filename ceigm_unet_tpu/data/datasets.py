@@ -1,0 +1,97 @@
+"""Dataset readers honoring the reference's on-disk formats and lists/
+layout (gm-unet/dataset_synapse.py, dataset_acdc.py):
+
+- Synapse train: per-slice ``{case}_slice{N}.npz`` with keys image/label;
+  test_vol: per-case ``{case}.npy.h5`` volumes (h5py), keys image/label.
+- ACDC: ``.npz`` per split dir with keys img/label; train/valid resized to
+  img_size, test passes raw volumes.
+- Split lists: newline files under lists/lists_{Synapse,ACDC}.
+
+Emitted samples are dicts {"image", "label", "case_name"} — image float32
+(H, W) or (D, H, W), label float32 — matching the reference's tensors
+before its torchvision transforms; normalization (x-0.5)/0.5 is applied by
+the training pipeline, not here (same split of duties as the reference).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+from ceigm_unet_tpu.data.augment import augment_seg
+from ceigm_unet_tpu.ops.resize import zoom_matrix  # noqa: F401 (shared cache)
+
+
+def _read_list(list_dir: str, split: str) -> list[str]:
+    with open(os.path.join(list_dir, split + ".txt")) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def _zoom_pair(image, label, size):
+    from scipy.ndimage import zoom
+    h, w = image.shape
+    if h != size or w != size:
+        image = zoom(image, (size / h, size / w), order=3)
+        label = zoom(label, (size / h, size / w), order=0)
+    return image, label
+
+
+class SynapseDataset:
+    def __init__(self, base_dir: str, split: str = "train",
+                 list_dir: str = "./lists/lists_Synapse",
+                 img_size: int = 224, augment: bool = True,
+                 seed: int = 0):
+        self.base_dir = base_dir
+        self.split = split
+        self.img_size = img_size
+        self.samples = _read_list(list_dir, split)
+        self.augment = augment and split == "train"
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        name = self.samples[idx]
+        if self.split == "train":
+            data = np.load(os.path.join(self.base_dir, name + ".npz"))
+            image = np.asarray(data["image"], np.float32)
+            label = np.asarray(data["label"], np.float32)
+            if self.augment:
+                image, label = augment_seg(self.rng, image, label)
+            image, label = _zoom_pair(image, label, self.img_size)
+        else:
+            import h5py
+            path = os.path.join(self.base_dir, f"{name}.npy.h5")
+            with h5py.File(path, "r") as f:
+                image = np.asarray(f["image"][:], np.float32)
+                label = np.asarray(f["label"][:], np.float32)
+        return {"image": image, "label": label, "case_name": name}
+
+
+class ACDCDataset:
+    def __init__(self, base_dir: str, split: str = "train",
+                 list_dir: str = "./lists/lists_ACDC",
+                 img_size: int = 224, augment: bool = True,
+                 seed: int = 0):
+        self.base_dir = base_dir
+        self.split = split
+        self.img_size = img_size
+        self.samples = _read_list(list_dir, split)
+        self.augment = augment and split == "train"
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        name = self.samples[idx]
+        data = np.load(os.path.join(self.base_dir, self.split, name))
+        image = np.asarray(data["img"], np.float32)
+        label = np.asarray(data["label"], np.float32)
+        if self.split == "train" and self.augment:
+            image, label = augment_seg(self.rng, image, label)
+        if self.split in ("train", "valid"):
+            image, label = _zoom_pair(image, label, self.img_size)
+        return {"image": image, "label": label, "case_name": name}
