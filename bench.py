@@ -2,6 +2,12 @@
 
 Prints ONE JSON line. Baseline target (BASELINE.json): 5000 slices/sec/chip
 on TPU v5e; vs_baseline = value / 5000.
+
+Timing method: on this environment's tunneled TPU, ``block_until_ready``
+confirms enqueue, not execution — only a device->host fetch synchronizes.
+We therefore time K and 2K chained iterations each ending in a scalar
+fetch and report the differential (2K - K)/K, which cancels fetch latency
+and dispatch overheads.
 """
 from __future__ import annotations
 
@@ -13,38 +19,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _run_chain(step, state0, iters):
+    s = state0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = step(s)
+    np.asarray(jax.device_get(s[0][0, 0, 0, 0]))  # sync fetch
+    return time.perf_counter() - t0
+
+
 def main():
     from ceigm_unet_tpu.models import build_model
 
     platform = jax.devices()[0].platform
-    compute_dtype = jnp.bfloat16 if platform == "tpu" else jnp.float32
-    batch = 64 if platform == "tpu" else 2
-    iters = 20 if platform == "tpu" else 2
+    on_tpu = platform == "tpu"
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    batch = 64 if on_tpu else 2
+    k = 8 if on_tpu else 1
 
     model = build_model(num_classes=9, dtype=compute_dtype,
                         scan_backend="auto")
     x0 = jnp.zeros((batch, 224, 224, 1), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x0[:1])
-
-    @jax.jit
-    def infer(variables, x):
-        logits = model.apply(variables, x)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    # init must be jitted: eager dispatch is pathological over the remote
+    # TPU tunnel (every init op pays round-trip latency)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0[:1])
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, 224, 224, 1)), jnp.float32)
 
-    # warmup / compile
-    infer(variables, x).block_until_ready()
-    infer(variables, x).block_until_ready()
+    @jax.jit
+    def step(state):
+        x, acc = state
+        logits = model.apply(variables, x)
+        # chain: perturb the input with the output so iterations are
+        # sequentially dependent and cannot be deduplicated
+        nxt = x + 1e-6 * logits[..., :1].astype(x.dtype)
+        return nxt, acc + jnp.float32(1)
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(variables, x)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    state = (x, jnp.float32(0))
+    _run_chain(step, state, 2)          # compile + warm
+    t1 = _run_chain(step, state, k)
+    t2 = _run_chain(step, state, 2 * k)
+    per_iter = max((t2 - t1) / k, 1e-9)
 
-    slices_per_sec = batch * iters / dt
+    slices_per_sec = batch / per_iter
     print(json.dumps({
         "metric": "synapse_224_inference",
         "value": round(slices_per_sec, 2),

@@ -27,6 +27,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ceigm_unet_tpu.ops.selective_scan import selective_scan
@@ -68,6 +69,63 @@ def ssm_scan_core(
         u, delta, A, Bs, Cs, Ds, dt_b.reshape(-1),
         delta_softplus=True, backend=backend, out_dtype=jnp.float32)
     return ys.reshape(B_, K, D, L)
+
+
+def _resolved_backend(backend: str) -> str:
+    from ceigm_unet_tpu.ops.selective_scan import _resolve_backend
+    return _resolve_backend(backend)
+
+
+def _quad_sublane(xc, p, d_inner, R, dtype):
+    """Transpose-free quad-group scan: channels stay on lanes, the sequence
+    on sublanes (NHWC-native). Direction layouts are a cheap spatial (H, W)
+    swap (lane dim intact) for directions 2/4 and sequence flips for 3/4 —
+    replacing the (B, C, L) transposes that dominate the row-layout path on
+    TPU. Weight layout identical to the generic path.
+
+    xc: (B, H, W, 4, D) post conv+SiLU -> returns (B, H, W, 4, D) fp32.
+    """
+    from ceigm_unet_tpu.ops.scan_pallas import selective_scan_sublane
+    B_, H, W, K, D = xc.shape
+    L = H * W
+    N = 1
+
+    x_dbl = jnp.einsum("bhwkd,kcd->bhwkc", xc,
+                       p.x_proj_weight.astype(xc.dtype))
+    dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
+    dt = jnp.einsum("bhwkr,kdr->bhwkd", dts,
+                    p.dt_projs_weight.astype(xc.dtype))
+    Bv = jnp.broadcast_to(Bs, (B_, H, W, K, D))
+    Cv = jnp.broadcast_to(Cs, (B_, H, W, K, D))
+
+    def to_scan(q):
+        """(B, H, W, 4, D) -> (B, L, 4*D): directions 1/3 use the row-major
+        layout and 2/4 the column-major; 3/4 are scanned BACKWARD in-kernel
+        (fwd_mask), so no flips touch HBM and outputs land in place."""
+        rm13 = q[:, :, :, (0, 2)].reshape(B_, L, 2 * D)      # [g1 | g3]
+        cm24 = q[:, :, :, (1, 3)].transpose(0, 2, 1, 3, 4)   # swap H, W
+        cm24 = cm24.reshape(B_, L, 2 * D)                    # [g2 | g4]
+        return jnp.concatenate([rm13, cm24], axis=-1)
+
+    # lane order after to_scan: [g1, g3, g2, g4]
+    perm = np.concatenate([np.arange(0, D), np.arange(2 * D, 3 * D),
+                           np.arange(D, 2 * D), np.arange(3 * D, 4 * D)])
+    A_lane = -jnp.exp(p.A_logs[:, 0].astype(jnp.float32))[perm]
+    bias_lane = p.dt_projs_bias.reshape(-1)[perm]
+    D_lane = p.Ds[perm]
+    fwd_mask = jnp.asarray(
+        np.concatenate([np.ones(D), np.zeros(D), np.ones(D), np.zeros(D)]),
+        jnp.float32)
+
+    y = selective_scan_sublane(
+        to_scan(xc), to_scan(dt), to_scan(Bv), to_scan(Cv),
+        A_lane, bias_lane, D_lane, fwd_mask, out_dtype=jnp.float32)
+
+    y1 = y[..., 0 * D:1 * D].reshape(B_, H, W, D)
+    y3 = y[..., 1 * D:2 * D].reshape(B_, H, W, D)
+    y2 = y[..., 2 * D:3 * D].reshape(B_, W, H, D).transpose(0, 2, 1, 3)
+    y4 = y[..., 3 * D:4 * D].reshape(B_, W, H, D).transpose(0, 2, 1, 3)
+    return jnp.stack([y1, y2, y3, y4], axis=3)
 
 
 class _SSMParams(nn.Module):
@@ -208,21 +266,31 @@ class QuadGroupSS2D(nn.Module):
         xc = nn.silu(xc)
         xc = xc.reshape(B_, H, W, K, d_inner)
 
-        # direction-k scan layout for group k
-        xs = jnp.stack(
-            [cross_scan_1d(xc[:, :, :, i], k)
-             for i, k in enumerate(self.directions)], axis=1)  # (B,K,D,L)
-
         p = _SSMParams(k=K, d_inner=d_inner, d_state=self.d_state,
                        dt_rank=R, name="ssm")
-        ys = ssm_scan_core(xs, p.x_proj_weight, p.dt_projs_weight,
-                           p.dt_projs_bias, p.A_logs, p.Ds,
-                           self.d_state, R, self.scan_backend)
 
-        # inverse layout per group, then per-group LayerNorm + gate + proj
-        yg = jnp.stack(
-            [cross_merge_1d(ys[:, i], k, H, W)
-             for i, k in enumerate(self.directions)], axis=3)  # (B,H,W,K,D)
+        # Experimental transpose-free layout (see _quad_sublane); the
+        # backward-masked kernel currently compiles to slow Mosaic code on
+        # v5e, so the row-layout path stays the default until tuned.
+        import os
+        use_sublane = (os.environ.get("CEIGM_SUBLANE") == "1"
+                       and self.d_state == 1
+                       and tuple(self.directions) == (1, 2, 3, 4)
+                       and H * W <= 4096   # single-block sublane scan limit
+                       and _resolved_backend(self.scan_backend) == "pallas")
+        if use_sublane:
+            yg = _quad_sublane(xc, p, d_inner, R, self.dtype)  # (B,H,W,K,D)
+        else:
+            # generic path: row-layout cross-scan + grouped scan op
+            xs = jnp.stack(
+                [cross_scan_1d(xc[:, :, :, i], k)
+                 for i, k in enumerate(self.directions)], axis=1)  # (B,K,D,L)
+            ys = ssm_scan_core(xs, p.x_proj_weight, p.dt_projs_weight,
+                               p.dt_projs_bias, p.A_logs, p.Ds,
+                               self.d_state, R, self.scan_backend)
+            yg = jnp.stack(
+                [cross_merge_1d(ys[:, i], k, H, W)
+                 for i, k in enumerate(self.directions)], axis=3)
 
         ln_scale = self.param("out_norm_scale", nn.initializers.ones,
                               (K, d_inner))

@@ -159,6 +159,30 @@ def _selective_scan_core(u, delta, A, B, C, D, delta_bias,
 
 def _fwd_impl(u, delta, A, B, C, D, delta_bias, delta_softplus, backend,
               out_dtype):
+    if backend == "pallas" and A.shape[-1] == 1 and delta_softplus:
+        # fused d_state=1 fast path (the reference "ndstate" specialization):
+        # softplus/decay/drive/scan/output all inside one Pallas kernel —
+        # no fp32 (batch, dim, L) intermediates in HBM. `h` is not
+        # materialized; callers needing it (return_last_state) use the
+        # unfused path.
+        from ceigm_unet_tpu.ops.scan_pallas import selective_scan_fused_n1
+        B4, C4 = _normalize_bc(B), _normalize_bc(C)
+        batch, dim, L = u.shape
+        G = B4.shape[1]
+        dg = dim // G
+        M = batch * dim
+        Brow = jnp.repeat(B4[:, :, 0, :], dg, axis=1).reshape(M, L)
+        Crow = jnp.repeat(C4[:, :, 0, :], dg, axis=1).reshape(M, L)
+        A_row = jnp.tile(A[:, 0].astype(jnp.float32), batch)
+        bias_row = (jnp.tile(delta_bias.astype(jnp.float32), batch)
+                    if delta_bias is not None else jnp.zeros(M, jnp.float32))
+        D_row = (jnp.tile(D.astype(jnp.float32), batch)
+                 if D is not None else jnp.zeros(M, jnp.float32))
+        y = selective_scan_fused_n1(
+            u.reshape(M, L), delta.reshape(M, L), A_row, Brow, Crow,
+            D_row, bias_row, out_dtype=out_dtype)
+        return y.reshape(batch, dim, L), None
+
     uf, dt, Af, Bf, Cf, Df, shapes = _prep(
         u, delta, A, B, C, D, delta_bias, delta_softplus)
     a, b = _scan_coeffs(uf, dt, Af, Bf, shapes)
@@ -274,9 +298,11 @@ def selective_scan(
                              delta_softplus, backend, out_dtype)
     if return_last_state:
         # Last state is off the training hot path (used by tests / serving
-        # preemption); recompute via the plain fwd impl.
+        # preemption); recompute via the unfused impl which materializes h.
         _, h = _fwd_impl(u, delta, A, B, C, D, delta_bias,
-                         delta_softplus, backend, out_dtype)
+                         delta_softplus,
+                         "assoc" if backend == "pallas" else backend,
+                         out_dtype)
         batch, dim, L = u.shape
         return y, h[..., -1].reshape(batch, dim, -1)
     return y

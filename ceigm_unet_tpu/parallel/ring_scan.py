@@ -1,0 +1,75 @@
+"""Sequence-parallel (context-parallel) selective scan across a device mesh.
+
+The reference has no cross-device sequence handling (SURVEY.md §2.14/§5.7);
+its CUDA kernel chunks L at 2048 *within* one GPU. Because the first-order
+scan combine (a2, b2)∘(a1, b1) = (a2*a1, a2*b1 + b2) is associative, the
+sequence axis can be sharded EXACTLY across chips: each shard scans locally,
+shards exchange their (total-decay, final-state) summary pair, and each
+shard folds in the exclusive prefix of its predecessors — one small
+collective per scan, riding ICI.
+
+Usage (inside shard_map over a mesh axis ``sp`` that shards L):
+
+    h_local = sequence_parallel_scan(a_local, b_local, axis_name="sp")
+
+The summary exchange uses ``lax.all_gather`` of the (a_tot, h_tot) pairs
+(size = n_shards * rows, tiny compared to activations); the per-shard
+exclusive prefix is then combined locally in log(n) arithmetic.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ceigm_unet_tpu.ops.selective_scan import _combine, _scan_assoc
+
+
+def sequence_parallel_scan(a: jnp.ndarray, b: jnp.ndarray,
+                           axis_name: str) -> jnp.ndarray:
+    """Exact distributed scan over the last axis sharded on ``axis_name``.
+
+    a, b: local shards (..., L_local). Returns the local shard of the
+    global inclusive scan h.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+
+    # local scan and local summary
+    ah, hh = jax.lax.associative_scan(_combine, (a, b), axis=-1)
+    a_tot = ah[..., -1]
+    h_tot = hh[..., -1]
+
+    # gather every shard's summary: (n, ...) leading axis
+    a_all = jax.lax.all_gather(a_tot, axis_name)
+    h_all = jax.lax.all_gather(h_tot, axis_name)
+
+    # exclusive prefix over shards: combine summaries of shards < idx
+    def step(carry, xs):
+        a_c, h_c = carry
+        a_i, h_i, i = xs
+        take = i < idx
+        a_n, h_n = _combine((a_c, h_c), (a_i, h_i))
+        return (jnp.where(take, a_n, a_c), jnp.where(take, h_n, h_c)), None
+
+    init = (jnp.ones_like(a_tot), jnp.zeros_like(h_tot))
+    (a_pre, h_pre), _ = jax.lax.scan(
+        step, init, (a_all, h_all, jnp.arange(n)))
+    del a_pre
+
+    # fold the predecessor state into the local scan:
+    # h_t = h_t_local + (prod_{s<=t} a_s_local) * h_prefix
+    return hh + ah * h_pre[..., None]
+
+
+def selective_scan_sp(u, delta, A, B, C, D=None, delta_bias=None,
+                      delta_softplus: bool = False, axis_name: str = "sp"):
+    """Sequence-parallel selective scan: same API as
+    :func:`ceigm_unet_tpu.ops.selective_scan.selective_scan`, with u/delta/
+    B/C sharded along L over ``axis_name`` (call under shard_map)."""
+    from ceigm_unet_tpu.ops.selective_scan import (
+        _prep, _scan_coeffs, _emit_y)
+    uf, dt, Af, Bf, Cf, Df, shapes = _prep(
+        u, delta, A, B, C, D, delta_bias, delta_softplus)
+    a, b = _scan_coeffs(uf, dt, Af, Bf, shapes)
+    h = sequence_parallel_scan(a, b, axis_name)
+    return _emit_y(h, Cf, uf, Df, shapes, u.dtype)
