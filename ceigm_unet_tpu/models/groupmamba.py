@@ -145,6 +145,9 @@ class DownSample(nn.Module):
 
 
 GROUPMAMBA_CONFIGS = {
+    # test-only miniature (fast CI compiles); not a reference config
+    "gm_test": dict(stem_hidden_dim=8, embed_dims=(16, 32, 48, 64),
+                    mlp_ratios=(2, 2, 2, 2), depths=(1, 1, 1, 1)),
     "gm_tiny": dict(stem_hidden_dim=32, embed_dims=(64, 128, 348, 448),
                     mlp_ratios=(8, 8, 4, 4), depths=(3, 4, 9, 3)),
     "gm_small": dict(stem_hidden_dim=64, embed_dims=(64, 128, 348, 512),

@@ -283,6 +283,9 @@ class PatchMerging2D(nn.Module):
 
 
 VSSM_CONFIGS = {
+    # test-only miniature (fast CI compiles); not a reference config
+    "vssm_test": dict(dims=(16, 32, 48, 64), depths=(1, 1, 1, 1),
+                      drop_path_rate=0.0),
     "tiny_0230s": dict(dims=(96, 192, 384, 768), depths=(2, 2, 8, 2),
                        drop_path_rate=0.2),
     "small_0229s": dict(dims=(96, 192, 384, 768), depths=(2, 2, 20, 2),

@@ -16,7 +16,7 @@ from ceigm_unet_tpu.train.trainstep import (
 
 @pytest.fixture(scope="module")
 def tiny_setup():
-    model = build_model(num_classes=4, scan_backend="assoc")
+    model = build_model(num_classes=4, enc_name="gm_test", scan_backend="assoc")
     tx = make_optimizer(cosine_lr(1e-3, 1e-6, 10, 2), weight_decay=1e-4)
     x = jnp.zeros((1, 32, 32, 1), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), x, tx)
@@ -107,7 +107,7 @@ def test_acdc_training_cli(tmp_path):
         ACDC_CONFIG, data_dir=str(data_dir), list_dir=str(list_dir),
         log_dir=str(tmp_path / "logs"), ckpt_dir=str(tmp_path / "ckpt"),
         batch_size=2, img_size=32, max_epochs=1, num_workers=0,
-        scan_backend="assoc")
+        enc_name="gm_test", scan_backend="assoc")
     train_ds = ACDCDataset(cfg.data_dir, "train", cfg.list_dir,
                            cfg.img_size, seed=1)
     state = run_training(cfg, train_ds, val_volumes=None, max_steps=2)

@@ -59,8 +59,7 @@ def test_vssm_pyramid():
 
 
 def test_legacy_unet_forward():
-    m = MSVMUNetLegacy(num_classes=4, scan_backend="assoc")
-    # small config by overriding through VSSM_CONFIGS is heavy; use 64 input
+    m = MSVMUNetLegacy(num_classes=4, enc_name="vssm_test", scan_backend="assoc")
     x = jnp.zeros((1, 64, 64, 1))
     v = m.init(jax.random.PRNGKey(0), x)
     y = m.apply(v, x)
