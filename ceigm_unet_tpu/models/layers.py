@@ -35,13 +35,38 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
+class DwConv(nn.Module):
+    """Depthwise conv (groups == channels) computed as kh*kw shifted
+    multiply-accumulates instead of an XLA conv.
+
+    Depthwise convolutions have contraction size 1, so the MXU is useless
+    for them and XLA's conv lowering is slow for narrow channel counts
+    (profiled ~3x slower than this VPU formulation on the decoder's
+    7x7/32-channel branches). Parameter shapes match nn.Conv's depthwise
+    layout (kernel (kh, kw, 1, C)), so checkpoints are interchangeable.
+    """
+    features: int
+    kernel: int | tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = ((self.kernel, self.kernel)
+                  if isinstance(self.kernel, int) else self.kernel)
+        c = self.features
+        k = self.param("kernel", conv_fan_out_normal_grouped(c),
+                       (kh, kw, 1, c))
+        from ceigm_unet_tpu.ops.dwconv_pallas import depthwise_conv2d
+        b = (self.param("bias", nn.initializers.zeros, (c,))
+             if self.use_bias else None)
+        return depthwise_conv2d(x, k, b)
+
+
 def dw_conv(features: int, kernel: int, use_bias: bool = True,
-            name: Optional[str] = None) -> nn.Conv:
+            name: Optional[str] = None) -> DwConv:
     """Depthwise conv (groups == channels), torch padding=k//2 ('SAME')."""
-    return nn.Conv(
-        features=features, kernel_size=(kernel, kernel), padding="SAME",
-        feature_group_count=features, use_bias=use_bias,
-        kernel_init=conv_fan_out_normal_grouped(features), name=name)
+    return DwConv(features=features, kernel=kernel, use_bias=use_bias,
+                  name=name)
 
 
 class Pvt2Ffn(nn.Module):
@@ -62,12 +87,31 @@ class Pvt2Ffn(nn.Module):
         return x
 
 
+class _DwParams(nn.Module):
+    """Parameter holder with nn.Conv-compatible names (kernel/bias)."""
+    k: int
+    c: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", conv_fan_out_normal_grouped(
+            self.c), (self.k, self.k, 1, self.c))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.c,))
+
+
 class InceptionDWConvMultiScale(nn.Module):
     """Residual multi-scale depthwise mixer.
 
-    Splits channels (C - 3g | g | g | g) with g = C/8; identity on the first
-    slice, depthwise 3x3 / 5x5 / 7x7 on the rest; adds the input back.
-    Reference: InceptionDWConv2d_MultiScale (model/gm/custom_mlp.py:205-233).
+    Semantics (reference InceptionDWConv2d_MultiScale,
+    model/gm/custom_mlp.py:205-233): channels split (C-3g | g | g | g) with
+    g = C/8; identity on the first slice, depthwise 3x3 / 5x5 / 7x7 on the
+    rest; the input added back (so identity channels double).
+
+    TPU implementation detail: the per-branch channel slices fall on
+    lane-misaligned offsets, which forces relayouts (profiled ~6 ms/block).
+    Instead the three branch kernels are embedded into ONE composite 7x7
+    depthwise kernel (identity delta on the pass-through channels,
+    zero-padded 3x3/5x5 weights centered) — one slice-free depthwise pass,
+    bit-identical results, identical parameter tree.
     """
     branch_ratio: float = 0.125
 
@@ -75,11 +119,25 @@ class InceptionDWConvMultiScale(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         g = int(c * self.branch_ratio)
-        xi, x3, x5, x7 = jnp.split(x, [c - 3 * g, c - 2 * g, c - g], axis=-1)
-        y3 = dw_conv(g, 3, name="dw3")(x3)
-        y5 = dw_conv(g, 5, name="dw5")(x5)
-        y7 = dw_conv(g, 7, name="dw7")(x7)
-        return x + jnp.concatenate([xi, y3, y5, y7], axis=-1)
+        p3 = _DwParams(3, g, name="dw3")
+        p5 = _DwParams(5, g, name="dw5")
+        p7 = _DwParams(7, g, name="dw7")
+
+        K = jnp.zeros((7, 7, 1, c), x.dtype)
+        ident = jnp.zeros((7, 7, 1, c - 3 * g), x.dtype
+                          ).at[3, 3].set(1.0)
+        K = K.at[:, :, :, :c - 3 * g].set(ident)
+        K = K.at[2:5, 2:5, :, c - 3 * g:c - 2 * g].set(
+            p3.kernel.astype(x.dtype))
+        K = K.at[1:6, 1:6, :, c - 2 * g:c - g].set(
+            p5.kernel.astype(x.dtype))
+        K = K.at[:, :, :, c - g:].set(p7.kernel.astype(x.dtype))
+        bias = jnp.concatenate([
+            jnp.zeros(c - 3 * g, x.dtype), p3.bias.astype(x.dtype),
+            p5.bias.astype(x.dtype), p7.bias.astype(x.dtype)])
+
+        from ceigm_unet_tpu.ops.dwconv_pallas import depthwise_conv2d
+        return x + depthwise_conv2d(x, K, bias)
 
 
 class CustomFfn(nn.Module):

@@ -195,10 +195,9 @@ class SS2D(nn.Module):
             z = nn.silu(z)
 
         if self.d_conv > 1:
-            xc = nn.Conv(d_inner, (self.d_conv, self.d_conv), padding="SAME",
-                         feature_group_count=d_inner, use_bias=self.conv_bias,
-                         kernel_init=conv_fan_out_normal_grouped(d_inner),
-                         dtype=self.dtype, name="conv2d")(xc)
+            from ceigm_unet_tpu.models.layers import DwConv
+            xc = DwConv(features=d_inner, kernel=self.d_conv,
+                        use_bias=self.conv_bias, name="conv2d")(xc)
         xc = nn.silu(xc)
 
         xs = jnp.stack([cross_scan_1d(xc, k) for k in self.directions],
@@ -258,11 +257,10 @@ class QuadGroupSS2D(nn.Module):
         z = nn.silu(z)
 
         # stacked depthwise conv == one depthwise conv over K*d_inner chans
+        from ceigm_unet_tpu.models.layers import DwConv
         xc = xc.reshape(B_, H, W, K * d_inner)
-        xc = nn.Conv(K * d_inner, (self.d_conv, self.d_conv), padding="SAME",
-                     feature_group_count=K * d_inner, use_bias=self.conv_bias,
-                     kernel_init=conv_fan_out_normal_grouped(K * d_inner),
-                     dtype=self.dtype, name="conv2d")(xc)
+        xc = DwConv(features=K * d_inner, kernel=self.d_conv,
+                    use_bias=self.conv_bias, name="conv2d")(xc)
         xc = nn.silu(xc)
         xc = xc.reshape(B_, H, W, K, d_inner)
 

@@ -53,9 +53,8 @@ class InceptionDWConv2dBands(nn.Module):
         hw = dw_conv(g, 7, name="hw7")(hw)
 
         def band(feat, kh, kw, name):
-            return nn.Conv(g, (kh, kw), padding="SAME",
-                           feature_group_count=g,
-                           kernel_init=conv_fan_out_normal(), name=name)(feat)
+            from ceigm_unet_tpu.models.layers import DwConv
+            return DwConv(features=g, kernel=(kh, kw), name=name)(feat)
 
         w = band(xw, 1, self.band_kernel_size, "w11")
         w = band(w, 1, 5, "w5")

@@ -15,6 +15,7 @@ bandwidth-bound and fuses with the surrounding elementwise work.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -55,3 +56,50 @@ def grid_sample_bilinear(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
+
+
+def grid_sample_bilinear_mm(x: jnp.ndarray, grid: jnp.ndarray,
+                            chunk: int = 64) -> jnp.ndarray:
+    """Bilinear grid sample as MXU matmuls (TPU-fast, exact).
+
+    Gathers are slow on TPU (the take_along_axis formulation profiled at
+    ~30 ms for the finest DySample stage). Bilinear interpolation with
+    border clamping is a *separable bilinear form*:
+
+        out[p, c] = sum_{y,x} hat(gy_p - y) * hat(gx_p - x) * im[y, x, c]
+
+    with hat(d) = max(0, 1 - |d|) and coordinates clamped to the valid
+    range. Both hat-weight matrices are built densely (tiny) and contracted
+    as two matmuls, chunked over output pixels to bound the intermediate.
+    Identical results to :func:`grid_sample_bilinear`.
+    """
+    B, H, W, C = x.shape
+    Ho, Wo = grid.shape[1], grid.shape[2]
+    P = Ho * Wo
+    gx = (grid[..., 0].astype(jnp.float32) + 1.0) * W / 2.0 - 0.5
+    gy = (grid[..., 1].astype(jnp.float32) + 1.0) * H / 2.0 - 0.5
+    gx = jnp.clip(gx, 0.0, W - 1.0).reshape(B, P)
+    gy = jnp.clip(gy, 0.0, H - 1.0).reshape(B, P)
+
+    # pad P to a multiple of the chunk
+    ch = min(chunk, P)
+    Pp = -(-P // ch) * ch
+    gx = jnp.pad(gx, ((0, 0), (0, Pp - P)))
+    gy = jnp.pad(gy, ((0, 0), (0, Pp - P)))
+    n_chunks = Pp // ch
+
+    iy = jnp.arange(H, dtype=jnp.float32)
+    ix = jnp.arange(W, dtype=jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - iy))  # (B, Pp, H)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - ix))  # (B, Pp, W)
+    wy = wy.reshape(B, n_chunks, ch, H).swapaxes(0, 1).astype(x.dtype)
+    wx = wx.reshape(B, n_chunks, ch, W).swapaxes(0, 1).astype(x.dtype)
+
+    def body(_, wchunk):
+        wyc, wxc = wchunk                       # (B, ch, H), (B, ch, W)
+        t = jnp.einsum("bph,bhwc->bpwc", wyc, x)
+        return None, jnp.einsum("bpw,bpwc->bpc", wxc, t)
+
+    _, outs = jax.lax.scan(body, None, (wy, wx))  # (n_chunks, B, ch, C)
+    out = outs.swapaxes(0, 1).reshape(B, Pp, C)[:, :P]
+    return out.reshape(B, Ho, Wo, C)
