@@ -81,9 +81,14 @@ def should_validate(epoch: int, cfg: TrainConfig) -> bool:
 
 def run_training(cfg: TrainConfig, train_ds, val_volumes=None,
                  max_steps: Optional[int] = None,
-                 logger: Optional[logging.Logger] = None):
+                 logger: Optional[logging.Logger] = None,
+                 resume_from: Optional[str] = None):
     """train_ds: indexable dataset of slice samples. val_volumes: iterable
-    of {"image": (D, H, W), "label": (D, H, W), "case_name": str}."""
+    of {"image": (D, H, W), "label": (D, H, W), "case_name": str}.
+    ``resume_from``: path to a saved checkpoint dir — restores params /
+    batch_stats and continues from the saved epoch (the capability
+    Lightning's ``fit(ckpt_path=...)`` provides but the reference leaves
+    unused, train_synapse.py:223)."""
     logger = logger or setup_logger(cfg.log_dir, cfg.name)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model = build_model(num_classes=cfg.num_classes, enc_name=cfg.enc_name,
@@ -104,6 +109,16 @@ def run_training(cfg: TrainConfig, train_ds, val_volumes=None,
         state = load_pretrained_encoder(state, cfg.pretrained_encoder,
                                         logger)
 
+    start_epoch = 0
+    if resume_from:
+        payload = load_checkpoint(resume_from)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, payload["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, payload["batch_stats"]),
+            step=jnp.asarray(payload.get("step", 0), jnp.int32))
+        start_epoch = int(payload.get("epoch", -1)) + 1
+        logger.info(f"resumed from {resume_from} at epoch {start_epoch}")
+
     # data-parallel mesh: largest device count that divides the batch
     n_dev = len(jax.devices())
     while cfg.batch_size % n_dev != 0:
@@ -121,7 +136,7 @@ def run_training(cfg: TrainConfig, train_ds, val_volumes=None,
     global_step = 0
     stop = False
 
-    for epoch in range(cfg.max_epochs):
+    for epoch in range(start_epoch, cfg.max_epochs):
         if epoch >= cfg.stop_epoch:     # reference hard stop
             logger.info(f"hard stop at epoch {epoch}")
             break

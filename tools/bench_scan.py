@@ -10,7 +10,11 @@ reliable method on a tunneled TPU (dispatch acks do not imply execution).
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +23,7 @@ import numpy as np
 from ceigm_unet_tpu.ops.selective_scan import selective_scan
 
 B, D, N, L = 128, 96, 1, 4096
-ITERS = 20
+ITERS = 100
 
 
 def loop_time(body, x0, n):
@@ -28,15 +32,13 @@ def loop_time(body, x0, n):
         return jax.lax.fori_loop(0, n, lambda i, x: body(x), x)
     o = run(x0, 2)
     np.asarray(jax.device_get(jax.tree.leaves(o)[0]).ravel()[0])
-    t0 = time.perf_counter()
-    o = run(x0, n)
-    np.asarray(jax.device_get(jax.tree.leaves(o)[0]).ravel()[0])
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    o = run(x0, 2 * n)
-    np.asarray(jax.device_get(jax.tree.leaves(o)[0]).ravel()[0])
-    t2 = time.perf_counter() - t0
-    return (t2 - t1) / n
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = run(x0, n)
+        np.asarray(jax.device_get(jax.tree.leaves(o)[0]).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / n
 
 
 def main():
