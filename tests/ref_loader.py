@@ -75,12 +75,18 @@ def load_reference():
     import model  # the reference package (needs shims on path)
     import model.gm.ss2d as gm_ss2d
     import model.gm.csms6s as gm_csms6s
+    import model.vmamba.vmamba as vm
+    import model.vmamba.csms6s as vm_csms6s
 
-    for mod in (gm_ss2d, gm_csms6s):
+    for mod in (gm_ss2d, gm_csms6s, vm, vm_csms6s):
         for name in ("SelectiveScanCore", "SelectiveScanOflex",
                      "SelectiveScanMamba"):
             if hasattr(mod, name):
                 setattr(mod, name, _TorchSeqScan)
+    # Triton layout kernels can't run on CPU; the eager 4-direction
+    # CrossScan/CrossMerge autograd functions share their API.
+    vm.CrossScanTriton = vm_csms6s.CrossScan
+    vm.CrossMergeTriton = vm_csms6s.CrossMerge
     # rebind the partial captured in FORWARD_TYPES at module construction
     # time: SS2Dv2.__initv2__ reads the module-global SelectiveScanCore, so
     # patching before model construction is sufficient.
