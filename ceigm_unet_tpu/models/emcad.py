@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from ceigm_unet_tpu.models.layers import channel_shuffle, bilinear_upsample
 from ceigm_unet_tpu.models.groupmamba import BlockMamba
-from ceigm_unet_tpu.ops.grid_sample import grid_sample_bilinear_mm
+from ceigm_unet_tpu.ops.grid_sample import grid_sample_bilinear_fused
 from ceigm_unet_tpu.utils.initializers import normal, torch_linear_default
 
 
@@ -251,7 +251,7 @@ class DySample(nn.Module):
         xg = x.reshape(B, H, W, g, C // g)
         xg = xg.transpose(0, 3, 1, 2, 4).reshape(B * g, H, W, C // g)
         gg = grid.transpose(0, 3, 1, 2, 4).reshape(B * g, H * s, W * s, 2)
-        out = grid_sample_bilinear_mm(xg, gg)
+        out = grid_sample_bilinear_fused(xg, gg)
         out = out.reshape(B, g, H * s, W * s, C // g)
         out = out.transpose(0, 2, 3, 1, 4).reshape(B, H * s, W * s, C)
 

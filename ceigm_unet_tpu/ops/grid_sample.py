@@ -103,3 +103,70 @@ def grid_sample_bilinear_mm(x: jnp.ndarray, grid: jnp.ndarray,
     _, outs = jax.lax.scan(body, None, (wy, wx))  # (n_chunks, B, ch, C)
     out = outs.swapaxes(0, 1).reshape(B, Pp, C)[:, :P]
     return out.reshape(B, Ho, Wo, C)
+
+
+def grid_sample_bilinear_fused(x: jnp.ndarray, grid: jnp.ndarray,
+                               p_tile: int = 256) -> jnp.ndarray:
+    """Pallas-fused version of :func:`grid_sample_bilinear_mm`.
+
+    The XLA chunked form materializes a (P, W, C) intermediate to HBM
+    (~1.4 GB of traffic for the finest DySample stage). Here the hat-weight
+    tile is built in VMEM ((H*W, P_TILE), output pixels on lanes) and
+    contracted against the VMEM-resident image in one MXU matmul; HBM sees
+    only the inputs once and the output once. Exact same math.
+    """
+    import functools
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = x.shape
+    Ho, Wo = grid.shape[1], grid.shape[2]
+    P = Ho * Wo
+    # fused path only for the bf16 perf regime (MXU fp32 matmuls truncate
+    # to bf16 passes; fp32 callers keep the full-precision mm path)
+    if (jax.default_backend() != "tpu" or x.dtype != jnp.bfloat16
+            or H * W * C * x.dtype.itemsize > 2**22):
+        return grid_sample_bilinear_mm(x, grid)
+
+    gx = (grid[..., 0].astype(jnp.float32) + 1.0) * W / 2.0 - 0.5
+    gy = (grid[..., 1].astype(jnp.float32) + 1.0) * H / 2.0 - 0.5
+    gx = jnp.clip(gx, 0.0, W - 1.0).reshape(B, P)
+    gy = jnp.clip(gy, 0.0, H - 1.0).reshape(B, P)
+    Pp = -(-P // p_tile) * p_tile
+    gx = jnp.pad(gx, ((0, 0), (0, Pp - P)))
+    gy = jnp.pad(gy, ((0, 0), (0, Pp - P)))
+
+    iy = jnp.arange(H, dtype=jnp.float32)
+    ix = jnp.arange(W, dtype=jnp.float32)
+    # weights laid out with output pixels on LANES: (B, H|W, Pp)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[:, None, :] - iy[:, None]))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[:, None, :] - ix[:, None]))
+    xf = x.reshape(B, H * W, C)
+
+    def kernel(wy_ref, wx_ref, im_ref, out_ref):
+        wyt = wy_ref[0]                      # (H, PT)
+        wxt = wx_ref[0]                      # (W, PT)
+        im = im_ref[0].astype(jnp.float32)   # (H*W, C)
+        w2 = (wyt[:, None, :] * wxt[None, :, :]).reshape(H * W, -1)
+        o = jax.lax.dot_general(w2, im, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_ref[0] = o.astype(out_ref.dtype)  # (PT, C)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Pp // p_tile),
+        in_specs=[
+            pl.BlockSpec((1, H, p_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W, p_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H * W, C), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, p_tile, C), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Pp, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(wy.astype(jnp.float32), wx.astype(jnp.float32), xf)
+    return out[:, :P].reshape(B, Ho, Wo, C)
