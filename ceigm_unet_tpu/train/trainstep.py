@@ -60,11 +60,15 @@ def make_optimizer(lr_schedule, weight_decay: float
 
 
 def create_train_state(model, rng, sample_input, tx) -> TrainState:
-    variables = model.init(rng, sample_input, train=False)
+    # init and optimizer-state construction are jitted: eager per-op
+    # dispatch is pathologically slow on remote/tunneled TPU runtimes.
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        rng, sample_input)
+    opt_state = jax.jit(tx.init)(variables["params"])
     return TrainState(step=jnp.zeros((), jnp.int32),
                       params=variables["params"],
                       batch_stats=variables.get("batch_stats", {}),
-                      opt_state=tx.init(variables["params"]), tx=tx)
+                      opt_state=opt_state, tx=tx)
 
 
 def _encoder_mask(params) -> Any:
