@@ -37,17 +37,27 @@ def _zoom_pair(image, label, size):
     return image, label
 
 
+def make_label_pyramid(label: np.ndarray, scales) -> list:
+    """Deep-supervision label pyramid (reference resize_mask /
+    deep_supervision_scales, dataset_synapse.py:14-16,108-109):
+    order-0 zoom of the label at each scale."""
+    from scipy.ndimage import zoom
+    return [label if tuple(s) == (1, 1) else zoom(label, s, order=0)
+            for s in scales]
+
+
 class SynapseDataset:
     def __init__(self, base_dir: str, split: str = "train",
                  list_dir: str = "./lists/lists_Synapse",
                  img_size: int = 224, augment: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, deep_supervision_scales=None):
         self.base_dir = base_dir
         self.split = split
         self.img_size = img_size
         self.samples = _read_list(list_dir, split)
         self.augment = augment and split == "train"
         self.rng = np.random.default_rng(seed)
+        self.deep_supervision_scales = deep_supervision_scales
 
     def __len__(self):
         return len(self.samples)
@@ -67,20 +77,25 @@ class SynapseDataset:
             with h5py.File(path, "r") as f:
                 image = np.asarray(f["image"][:], np.float32)
                 label = np.asarray(f["label"][:], np.float32)
-        return {"image": image, "label": label, "case_name": name}
+        out = {"image": image, "label": label, "case_name": name}
+        if self.deep_supervision_scales is not None:
+            out["label_pyramid"] = make_label_pyramid(
+                label, self.deep_supervision_scales)
+        return out
 
 
 class ACDCDataset:
     def __init__(self, base_dir: str, split: str = "train",
                  list_dir: str = "./lists/lists_ACDC",
                  img_size: int = 224, augment: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, deep_supervision_scales=None):
         self.base_dir = base_dir
         self.split = split
         self.img_size = img_size
         self.samples = _read_list(list_dir, split)
         self.augment = augment and split == "train"
         self.rng = np.random.default_rng(seed)
+        self.deep_supervision_scales = deep_supervision_scales
 
     def __len__(self):
         return len(self.samples)
@@ -94,4 +109,8 @@ class ACDCDataset:
             image, label = augment_seg(self.rng, image, label)
         if self.split in ("train", "valid"):
             image, label = _zoom_pair(image, label, self.img_size)
-        return {"image": image, "label": label, "case_name": name}
+        out = {"image": image, "label": label, "case_name": name}
+        if self.deep_supervision_scales is not None:
+            out["label_pyramid"] = make_label_pyramid(
+                label, self.deep_supervision_scales)
+        return out
