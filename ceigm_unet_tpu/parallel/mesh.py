@@ -24,6 +24,11 @@ def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = "data") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devs)} device(s) "
+                f"visible on platform {devs[0].platform!r} — a silently "
+                f"truncated mesh would fake multi-chip coverage")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis_name,))
 

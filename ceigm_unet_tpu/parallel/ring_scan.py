@@ -61,6 +61,39 @@ def sequence_parallel_scan(a: jnp.ndarray, b: jnp.ndarray,
     return hh + ah * h_pre[..., None]
 
 
+def selective_scan_sp_check(mesh) -> None:
+    """Smoke check used by the driver's multi-chip dryrun: run a
+    seq-sharded selective scan over ``mesh``'s first axis and assert it
+    matches the unsharded result. Raises on mismatch."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from ceigm_unet_tpu.ops.selective_scan import selective_scan
+
+    axis = mesh.axis_names[0]
+    rng = np.random.default_rng(7)
+    batch, dim, N, L = 2, 8, 1, 64 * mesh.devices.size
+    u = jnp.asarray(rng.standard_normal((batch, dim, L)), jnp.float32)
+    delta = jnp.asarray(0.4 * rng.standard_normal((batch, dim, L)),
+                        jnp.float32)
+    A = jnp.asarray(-0.5 - rng.random((dim, N)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((batch, 1, N, L)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((batch, 1, N, L)), jnp.float32)
+
+    f = shard_map(
+        lambda u, d, Bm, Cm: selective_scan_sp(
+            u, d, A, Bm, Cm, delta_softplus=True, axis_name=axis),
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, None, axis),
+                  P(None, None, None, axis), P(None, None, None, axis)),
+        out_specs=P(None, None, axis))
+    got = f(u, delta, B, C)
+    want = selective_scan(u, delta, A, B, C, delta_softplus=True,
+                          backend="assoc")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def selective_scan_sp(u, delta, A, B, C, D=None, delta_bias=None,
                       delta_softplus: bool = False, axis_name: str = "sp"):
     """Sequence-parallel selective scan: same API as
