@@ -68,6 +68,11 @@ def ssm_scan_core(
     ys = selective_scan(
         u, delta, A, Bs, Cs, Ds, dt_b.reshape(-1),
         delta_softplus=True, backend=backend, out_dtype=jnp.float32)
+    # opt-in debug guards (reference csms6s.py:231-235 / ss2d.py:488-493);
+    # compile to nothing when the CEIGM_DEBUG_* env flags are off
+    from ceigm_unet_tpu.utils.debug import check_nan_inf, capture
+    ys = check_nan_inf("ssm_scan_core.ys", ys)
+    capture("ssm_scan_core", us=xs, dts=dts, Bs=Bs, Cs=Cs, ys=ys)
     return ys.reshape(B_, K, D, L)
 
 

@@ -59,6 +59,45 @@ def make_optimizer(lr_schedule, weight_decay: float
                        weight_decay=weight_decay)
 
 
+def make_adam(lr_schedule, weight_decay: float = 0.0,
+              b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """torch Adam: L2 weight decay folded into the gradient BEFORE the
+    moment updates (unlike AdamW's decoupled decay)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.scale_by_learning_rate(lr_schedule))
+
+
+def make_sgd(lr_schedule, weight_decay: float = 0.0,
+             momentum: float = 0.0, nesterov: bool = False):
+    """torch SGD: grad += wd * p, then (optional) momentum buffer."""
+    parts = [optax.add_decayed_weights(weight_decay)]
+    if momentum:
+        parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+    parts.append(optax.scale_by_learning_rate(lr_schedule))
+    return optax.chain(*parts)
+
+
+def make_rmsprop(lr_schedule, weight_decay: float = 0.0,
+                 alpha: float = 0.99, eps: float = 1e-8):
+    """torch RMSprop: grad += wd * p; divide by sqrt(sq_avg) + eps (eps
+    OUTSIDE the sqrt, torch semantics)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_rms(decay=alpha, eps=eps, eps_in_sqrt=False),
+        optax.scale_by_learning_rate(lr_schedule))
+
+
+# Reference knob set (gm-unet/train_synapse.py:24-29); live entry: AdamW.
+OPTIMIZERS = {
+    "Adam": make_adam,
+    "SGD": make_sgd,
+    "RMSprop": make_rmsprop,
+    "AdamW": make_optimizer,
+}
+
+
 def create_train_state(model, rng, sample_input, tx) -> TrainState:
     # init and optimizer-state construction are jitted: eager per-op
     # dispatch is pathologically slow on remote/tunneled TPU runtimes.
@@ -73,6 +112,11 @@ def create_train_state(model, rng, sample_input, tx) -> TrainState:
 
 def _encoder_mask(params) -> Any:
     """Params-shaped pytree: True on leaves under the top-level 'encoder'."""
+    if "encoder" not in params:
+        raise ValueError(
+            "freeze-encoder mask expects a top-level 'encoder' param group; "
+            f"got {sorted(params)} — update _encoder_mask if the model "
+            "assembly renamed its submodules")
     return {k: jax.tree.map(lambda _: k == "encoder", v)
             for k, v in params.items()}
 

@@ -15,9 +15,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+print = functools.partial(print, flush=True)
 
 BATCH = 64
 DTYPE = jnp.bfloat16
@@ -27,16 +31,23 @@ ITERS = 6
 def loop_time(body, x0, n=ITERS):
     @jax.jit
     def run(x, n):
-        return jax.lax.fori_loop(0, n, lambda i, x: body(x), x)
-    o = run(x0, 2)
-    np.asarray(jax.device_get(jax.tree.leaves(o)[0]).ravel()[0])
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        o = run(x0, n)
-        np.asarray(jax.device_get(jax.tree.leaves(o)[0]).ravel()[0])
-        best = min(best, time.perf_counter() - t0)
-    return best / n
+        o = jax.lax.fori_loop(0, n, lambda i, x: body(x), x)
+        # reduce to a SCALAR on device: fetching a full tensor over the
+        # tunnel costs hundreds of ms and poisons the measurement
+        return jnp.sum(o.astype(jnp.float32).ravel()[:8])
+
+    def once(n):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(run(x0, n)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    np.asarray(jax.device_get(run(x0, 2)))   # compile + warm
+    t1 = once(n)
+    t2 = once(2 * n)
+    return max(t2 - t1, 1e-9) / n
 
 
 def chainify(fn, shape_like):
