@@ -20,7 +20,7 @@ from typing import Any, Dict, Mapping, Sequence, Tuple
 import numpy as np
 
 from ceigm_unet_tpu.convert.torch_import import (
-    _SD, _dense, _conv, _ln, t_linear)
+    _SD, _bn, _dense, _conv, _ln, t_linear)
 
 
 def _vssm_ss2d(sd: _SD, p: str) -> Dict[str, Any]:
@@ -38,6 +38,93 @@ def _vssm_ss2d(sd: _SD, p: str) -> Dict[str, Any]:
         "out_norm": _ln(sd, p + ".out_norm"),
         "out_proj": {"kernel": t_linear(sd.get(p + ".out_proj.weight"))},
     }
+
+
+def _ms_mlp(sd: _SD, p: str) -> Dict[str, Any]:
+    """MS_MLP (reference decoder.py:2232-2262): fc1 -> GELU ->
+    InceptionDWConv2d2 (square 3-5-7 chain | 1xk band | kx1 band) -> fc2."""
+    mc = p + ".multiscale_conv"
+    return {
+        "fc1": _dense(sd, p + ".fc1"),
+        "multiscale_conv": {
+            "hw3": _conv(sd, mc + ".dwconv_hw.0"),
+            "hw5": _conv(sd, mc + ".dwconv_hw.1"),
+            "hw7": _conv(sd, mc + ".dwconv_hw.2"),
+            "w11": _conv(sd, mc + ".dwconv_w.0"),
+            "w5": _conv(sd, mc + ".dwconv_w.1"),
+            "h11": _conv(sd, mc + ".dwconv_h.0"),
+            "h5": _conv(sd, mc + ".dwconv_h.1"),
+        },
+        "fc2": _dense(sd, p + ".fc2"),
+    }
+
+
+def _lkpe(sd: _SD, p: str):
+    """LKPE expand Sequential indices {0: conv1x1, 1: bn, 3: dw3x3}
+    (reference decoder.py:2572-2597)."""
+    bnp, bns = _bn(sd, p + ".expand.1")
+    return ({"expand0": _conv(sd, p + ".expand.0"), "bn": bnp,
+             "expand1": _conv(sd, p + ".expand.3"),
+             "norm": _ln(sd, p + ".norm")}, {"bn": bns})
+
+
+def _flkpe(sd: _SD, p: str):
+    """FLKPE (reference decoder.py:2599-2633): LKPE pattern + 1x1 head."""
+    params, stats = _lkpe(sd, p)
+    params["out"] = _conv(sd, p + ".out")
+    return params, stats
+
+
+def _msvss_block(sd: _SD, b: str) -> Dict[str, Any]:
+    return {
+        "norm": _ln(sd, b + ".norm"),
+        "op": _vssm_ss2d(sd, b + ".op"),
+        "norm2": _ln(sd, b + ".norm2"),
+        "mlp": _ms_mlp(sd, b + ".mlp"),
+    }
+
+
+def convert_legacy_decoder_state_dict(
+    state_dict: Mapping[str, Any],
+    depths: Sequence[int] = (2, 2, 2, 2),
+):
+    """Reference legacy MSVM-UNet Decoder (decoder.py:2655-2683) torch
+    state_dict -> (params, batch_stats) matching
+    :class:`ceigm_unet_tpu.models.vmamba.LegacyDecoder`."""
+    sd = _SD(state_dict)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    n_up = len(depths) - 1
+    for i in range(n_up):
+        p = f"layers.{i}"
+        upp, ups = _lkpe(sd, p + ".up")
+        blocks = {f"block{j}": _msvss_block(sd, f"{p}.vss_layer.blocks.{j}")
+                  for j in range(depths[i + 1])}
+        params[f"layer{i}"] = {
+            "up": upp,
+            "concat_layer": _dense(sd, p + ".concat_layer"),
+            "vss_layer": blocks,
+        }
+        stats[f"layer{i}"] = {"up": ups}
+    outp, outs = _flkpe(sd, "out_layers.0")
+    params["out_layer"] = outp
+    stats["out_layer"] = outs
+    return params, stats
+
+
+def convert_msvm_legacy_state_dict(
+    enc_state_dict: Mapping[str, Any],
+    dec_state_dict: Mapping[str, Any],
+    enc_depths: Sequence[int] = (2, 2, 8, 2),
+    dec_depths: Sequence[int] = (2, 2, 2, 2),
+) -> Dict[str, Any]:
+    """(VSSM encoder sd, legacy Decoder sd) -> flax variables for
+    :class:`ceigm_unet_tpu.models.vmamba.MSVMUNetLegacy`."""
+    enc_p = convert_vssm_state_dict(enc_state_dict, depths=enc_depths)
+    dec_p, dec_s = convert_legacy_decoder_state_dict(dec_state_dict,
+                                                     depths=dec_depths)
+    return {"params": {"encoder": enc_p, "decoder": dec_p},
+            "batch_stats": {"decoder": dec_s}}
 
 
 def convert_vssm_state_dict(

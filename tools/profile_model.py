@@ -344,6 +344,120 @@ def _head():
     return fn, x
 
 
+# -------------- micro: ffn_s1 internals (dim 64, hidden 512, 56²) --------
+
+@section("micro_fc1_s1")
+def _m_fc1():
+    import flax.linen as nn
+    return module_section(nn.Dense(512, dtype=DTYPE), (BATCH, 56, 56, 64))
+
+
+@section("micro_fc2_s1")
+def _m_fc2():
+    import flax.linen as nn
+    return module_section(nn.Dense(64, dtype=DTYPE), (BATCH, 56, 56, 512))
+
+
+@section("micro_dw3_h512_s1")
+def _m_dw():
+    from ceigm_unet_tpu.models.layers import DwConv
+    return module_section(DwConv(features=512, kernel=3),
+                          (BATCH, 56, 56, 512))
+
+
+@section("micro_gelu_s1")
+def _m_gelu():
+    import flax.linen as nn
+    x = jnp.ones((BATCH, 56, 56, 512), DTYPE)
+    return (lambda v: nn.gelu(v, approximate=False)), x
+
+
+@section("micro_ln_s1")
+def _m_ln():
+    import flax.linen as nn
+    return module_section(
+        nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32), (BATCH, 56, 56, 64))
+
+
+# -------------- micro: quad_s1 internals (dim 64, dg 16, 56²) ------------
+
+@section("micro_inproj_s1")
+def _m_inproj():
+    w = jnp.ones((4, 16, 32), DTYPE)
+    x = jnp.ones((BATCH, 56, 56, 4, 16), DTYPE)
+    return (lambda v: jnp.einsum("bhwkc,kcd->bhwkd", v, w)), x
+
+
+@section("micro_xproj_s1")
+def _m_xproj():
+    w = jnp.ones((4, 3, 16), DTYPE)
+    x = jnp.ones((BATCH, 56, 56, 4, 16), DTYPE)
+    return (lambda v: jnp.einsum("bhwkd,kcd->bhwkc", v, w)), x
+
+
+@section("micro_dwconv_s1")
+def _m_qdw():
+    from ceigm_unet_tpu.models.layers import DwConv
+    return module_section(DwConv(features=64, kernel=3),
+                          (BATCH, 56, 56, 64))
+
+
+@section("micro_scan_full_s1")
+def _m_scanfull():
+    """cross_scan + fused scan + merge at stage-1 shape (the real path)."""
+    from ceigm_unet_tpu.ops.cross_scan import cross_scan_1d, cross_merge_1d
+    from ceigm_unet_tpu.ops.selective_scan import selective_scan
+    D, hw = 16, 56
+    L = hw * hw
+    A = -jnp.ones((64, 1), jnp.float32)
+    Dv = jnp.ones((64,), jnp.float32)
+    db = jnp.zeros((64,), jnp.float32)
+    x = jnp.ones((BATCH, hw, hw, 4, D), DTYPE)
+
+    def fn(xc):
+        dirs = (1, 2, 3, 4)
+        xs = jnp.stack([cross_scan_1d(xc[:, :, :, i], k)
+                        for i, k in enumerate(dirs)], axis=1)
+        u = xs.reshape(BATCH, 64, L)
+        Bm = jnp.ones((BATCH, 4, 1, L), DTYPE)
+        ys = selective_scan(u, 0.1 * u, A, Bm, Bm, Dv, db,
+                            delta_softplus=True, backend="pallas",
+                            out_dtype=jnp.float32).reshape(BATCH, 4, 16, L)
+        return jnp.stack([cross_merge_1d(ys[:, i], k, hw, hw)
+                          for i, k in enumerate(dirs)], axis=3).astype(DTYPE)
+    return fn, x
+
+
+@section("micro_groupln_gate_s1")
+def _m_gln():
+    s = jnp.ones((4, 16), jnp.float32)
+    b = jnp.zeros((4, 16), jnp.float32)
+    x = jnp.ones((BATCH, 56, 56, 4, 16), jnp.float32)
+
+    def fn(yg):
+        mu = jnp.mean(yg, axis=-1, keepdims=True)
+        var = jnp.var(yg, axis=-1, keepdims=True)
+        yg = (yg - mu) * jax.lax.rsqrt(var + 1e-5) * s + b
+        return yg.astype(DTYPE) * yg.astype(DTYPE)
+    return fn, x
+
+
+# -------------- micro: front-f3 internals (dim 64, hidden 256, 56²) ------
+
+@section("micro_inception_f3")
+def _m_incep():
+    from ceigm_unet_tpu.models.layers import InceptionDWConvMultiScale
+    return module_section(InceptionDWConvMultiScale(), (BATCH, 56, 56, 256))
+
+
+@section("micro_dysample_fine")
+def _m_dys_fine():
+    from ceigm_unet_tpu.models.emcad import DySample
+    return module_section(
+        DySample(in_channels=128, out_channels=64, dtype=DTYPE),
+        (BATCH, 28, 28, 128))
+
+
 @section("FULL_MODEL", count=1)
 def _full():
     from ceigm_unet_tpu.models import build_model
