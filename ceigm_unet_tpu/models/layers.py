@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ceigm_unet_tpu.ops.activations import gelu as fast_gelu
+
 from ceigm_unet_tpu.utils.initializers import (
     trunc_normal, conv_fan_out_normal_grouped)
 
@@ -81,7 +83,7 @@ class Pvt2Ffn(nn.Module):
         x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
                      dtype=self.dtype, name="fc1")(x)
         x = dw_conv(self.hidden, 3, name="dwconv")(x)
-        x = nn.gelu(x, approximate=False)
+        x = fast_gelu(x)
         x = nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
                      name="fc2")(x)
         return x
@@ -155,7 +157,7 @@ class CustomFfn(nn.Module):
         x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
                      dtype=self.dtype, name="fc1")(x)
         x = dw_conv(self.hidden, 3, name="dwconv")(x)
-        x = nn.gelu(x, approximate=False)
+        x = fast_gelu(x)
         x = InceptionDWConvMultiScale(name="custom")(x)
         x = nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
                      name="fc2")(x)

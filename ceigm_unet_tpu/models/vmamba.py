@@ -30,6 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ceigm_unet_tpu.ops.activations import gelu as fast_gelu
+
 from ceigm_unet_tpu.models.ss2d import SS2D
 from ceigm_unet_tpu.models.layers import DropPath, dw_conv
 from ceigm_unet_tpu.utils.initializers import (
@@ -73,7 +75,7 @@ class MsMlp(nn.Module):
         c = x.shape[-1]
         x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
                      dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = fast_gelu(x)
         x = InceptionDWConv2dBands(name="multiscale_conv")(x)
         return nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
                         name="fc2")(x)
@@ -89,7 +91,7 @@ class Mlp(nn.Module):
         c = x.shape[-1]
         x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
                      dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = fast_gelu(x)
         return nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
                         name="fc2")(x)
 
@@ -323,7 +325,7 @@ class VSSM(nn.Module):
             x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                              name="patch_norm0")(
                 x.astype(jnp.float32)).astype(self.dtype)
-            x = nn.gelu(x, approximate=False)
+            x = fast_gelu(x)
             x = nn.Conv(d0, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         kernel_init=trunc_normal(), dtype=self.dtype,
                         name="patch_embed1")(x)

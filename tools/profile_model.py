@@ -28,13 +28,21 @@ DTYPE = jnp.bfloat16
 ITERS = 6
 
 
-def loop_time(body, x0, n=ITERS):
+def loop_time(fn, x0, n=ITERS):
+    """Time fn via a scalar-carried fori_loop: iteration i computes
+    fn(x0 + eps*carry) — the tiny broadcast-add fuses into fn's first read,
+    so the chain adds no standalone full-tensor pass (the old x-carried
+    chain cost ~0.5 ms/iter of pure HBM traffic at stage-1 shapes)."""
     @jax.jit
-    def run(x, n):
-        o = jax.lax.fori_loop(0, n, lambda i, x: body(x), x)
-        # reduce to a SCALAR on device: fetching a full tensor over the
-        # tunnel costs hundreds of ms and poisons the measurement
-        return jnp.sum(o.astype(jnp.float32).ravel()[:8])
+    def run(x0, n):
+        def body(i, carry):
+            y = fn(jax.tree.map(
+                lambda v: v + (carry * 1e-12).astype(v.dtype), x0))
+            # FULL reduction: a sliced consumer lets XLA dead-code-eliminate
+            # the op body entirely (observed: matmuls timed at 0.000)
+            return sum(jnp.sum(leaf.astype(jnp.float32))
+                       for leaf in jax.tree.leaves(y)) * 1e-12
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
     def once(n):
         best = float("inf")
@@ -51,12 +59,7 @@ def loop_time(body, x0, n=ITERS):
 
 
 def chainify(fn, shape_like):
-    """Wrap a (B,H,W,C)->(B,H',W',C') fn so output perturbs next input."""
-    def body(x):
-        y = fn(x)
-        scal = jnp.mean(y.astype(jnp.float32)).astype(x.dtype)
-        return x * jnp.asarray(0.999, x.dtype) + scal * 1e-6
-    return body
+    return fn
 
 
 def module_section(mod, shape, extra=None, method=None):
@@ -456,6 +459,62 @@ def _m_dys_fine():
     return module_section(
         DySample(in_channels=128, out_channels=64, dtype=DTYPE),
         (BATCH, 28, 28, 128))
+
+
+# -------------- micro: dysample fine stage internals ---------------------
+
+@section("micro_dys_offsets")
+def _m_dys_off():
+    import flax.linen as nn
+    from ceigm_unet_tpu.models.emcad import _conv
+    from ceigm_unet_tpu.utils.initializers import normal
+
+    class Off(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            off = _conv(32, 1, "offset0", std=1e-3, dtype=DTYPE)(x)
+            return nn.Conv(32, (3, 3), padding="SAME",
+                           kernel_dilation=(2, 2), use_bias=False,
+                           kernel_init=normal(1e-3), dtype=DTYPE,
+                           name="offset1")(off)
+    return module_section(Off(), (BATCH, 28, 28, 128))
+
+
+@section("micro_dys_sample")
+def _m_dys_samp():
+    from ceigm_unet_tpu.ops.grid_sample import grid_sample_bilinear_fused
+    rngs = np.random.default_rng(0)
+    x = jnp.asarray(rngs.standard_normal((BATCH * 4, 28, 28, 32)),
+                    jnp.bfloat16)
+    g = jnp.asarray(rngs.uniform(-1, 1, (BATCH * 4, 56, 56, 2)), jnp.float32)
+
+    def fn(x):
+        return grid_sample_bilinear_fused(x, g)
+    return fn, x
+
+
+@section("micro_dys_regroup")
+def _m_dys_regroup():
+    x = jnp.ones((BATCH, 28, 28, 128), DTYPE)
+
+    def fn(x):
+        B, H, W, C = x.shape
+        g = 4
+        xg = x.reshape(B, H, W, g, C // g)
+        xg = xg.transpose(0, 3, 1, 2, 4).reshape(B * g, H, W, C // g)
+        out = xg  # stand-in for the sampled result at 2x
+        out = jnp.broadcast_to(out[:, :, None, :, None, :],
+                               (B * g, H, 2, W, 2, C // g)
+                               ).reshape(B, g, 2 * H, 2 * W, C // g)
+        return out.transpose(0, 2, 3, 1, 4).reshape(B, 2 * H, 2 * W, C)
+    return fn, x
+
+
+@section("micro_dys_eucb")
+def _m_dys_eucb():
+    from ceigm_unet_tpu.models.emcad import EUCB2
+    return module_section(EUCB2(in_channels=128, out_channels=64,
+                                dtype=DTYPE), (BATCH, 56, 56, 128))
 
 
 @section("FULL_MODEL", count=1)
