@@ -81,6 +81,57 @@ def _resolved_backend(backend: str) -> str:
     return _resolve_backend(backend)
 
 
+def _use_quad_nhwc(d_state: int, backend: str) -> bool:
+    """Gate for the in-place NHWC directional-scan path (TPU default)."""
+    import os
+    return (os.environ.get("CEIGM_QUAD", "1") == "1"
+            and d_state == 1
+            and _resolved_backend(backend) == "pallas")
+
+
+def quad_ssm_nhwc(xc_k: jnp.ndarray, p, R: int,
+                  directions: Sequence[int]) -> jnp.ndarray:
+    """d_state=1 SSM core with in-place directional scans (no layout ops).
+
+    xc_k: (B, H, W, K, D) per-direction post-conv activations (for the
+    grouped flavor these are the 4 channel groups; for the VMamba flavor
+    the same channels repeated per direction). Returns y (B, H, W, K, D)
+    fp32 — already in pixel order, so the reference's CrossMerge is a plain
+    sum/stack at the caller.
+
+    Replaces cross_scan_1d -> selective_scan -> cross_merge_1d: the
+    (B, C, L) transposes and HBM flips of that pipeline (reference
+    csms6s.py:56-206) are gone; the only non-elementwise op left is the
+    Pallas two-level scan itself (ops/quad_scan.py).
+    """
+    from ceigm_unet_tpu.ops.quad_scan import sscan_dir
+    B_, H, W, K, D = xc_k.shape
+    L = H * W
+
+    x_dbl = jnp.einsum("bhwkd,kcd->bhwkc", xc_k,
+                       p.x_proj_weight.astype(xc_k.dtype))
+    dts, Bs, Cs = jnp.split(x_dbl, [R, R + 1], axis=-1)
+    dt = jnp.einsum("bhwkr,kdr->bhwkd", dts,
+                    p.dt_projs_weight.astype(xc_k.dtype))
+
+    A = -jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D)
+    bias = p.dt_projs_bias.astype(jnp.float32)
+    Ds = p.Ds.astype(jnp.float32).reshape(K, D)
+
+    def bc(x, i):  # (B,H,W,1) scalar B/C -> (B, L, D), autodiff sums back
+        return jnp.broadcast_to(x[:, :, :, i], (B_, H, W, D)).reshape(
+            B_, L, D)
+
+    ys = [sscan_dir(xc_k[:, :, :, i].reshape(B_, L, D),
+                    dt[:, :, :, i].reshape(B_, L, D),
+                    bc(Bs, i), bc(Cs, i),
+                    A[i], bias[i], Ds[i], H, W, int(k))
+          for i, k in enumerate(directions)]
+    y = jnp.stack(ys, axis=2).reshape(B_, H, W, K, D)
+    from ceigm_unet_tpu.utils.debug import check_nan_inf
+    return check_nan_inf("quad_ssm_nhwc.y", y)
+
+
 def _quad_sublane(xc, p, d_inner, R, dtype):
     """Transpose-free quad-group scan: channels stay on lanes, the sequence
     on sublanes (NHWC-native). Direction layouts are a cheap spatial (H, W)
@@ -205,17 +256,23 @@ class SS2D(nn.Module):
                         use_bias=self.conv_bias, name="conv2d")(xc)
         xc = nn.silu(xc)
 
-        xs = jnp.stack([cross_scan_1d(xc, k) for k in self.directions],
-                       axis=1)  # (B, K, D, L)
-
         p = _SSMParams(k=K, d_inner=d_inner, d_state=self.d_state,
                        dt_rank=R, name="ssm")
-        ys = ssm_scan_core(xs, p.x_proj_weight, p.dt_projs_weight,
-                           p.dt_projs_bias, p.A_logs, p.Ds,
-                           self.d_state, R, self.scan_backend)
 
-        y = sum(cross_merge_1d(ys[:, i], k, H, W)
-                for i, k in enumerate(self.directions))  # (B, H, W, D) sum-merge
+        if _use_quad_nhwc(self.d_state, self.scan_backend):
+            # same channels fed to every direction; merge = sum (in place)
+            xck = jnp.broadcast_to(xc[:, :, :, None, :],
+                                   (B_, H, W, K, d_inner))
+            yk = quad_ssm_nhwc(xck, p, R, self.directions)
+            y = jnp.sum(yk, axis=3)                      # (B, H, W, D)
+        else:
+            xs = jnp.stack([cross_scan_1d(xc, k) for k in self.directions],
+                           axis=1)  # (B, K, D, L)
+            ys = ssm_scan_core(xs, p.x_proj_weight, p.dt_projs_weight,
+                               p.dt_projs_bias, p.A_logs, p.Ds,
+                               self.d_state, R, self.scan_backend)
+            y = sum(cross_merge_1d(ys[:, i], k, H, W)
+                    for i, k in enumerate(self.directions))  # sum-merge
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="out_norm")(y)
         y = y.astype(self.dtype)
         if z is not None:
@@ -274,7 +331,7 @@ class QuadGroupSS2D(nn.Module):
 
         # Experimental transpose-free layout (see _quad_sublane); the
         # backward-masked kernel currently compiles to slow Mosaic code on
-        # v5e, so the row-layout path stays the default until tuned.
+        # v5e — superseded by the quad_nhwc path below, kept for A/B only.
         import os
         use_sublane = (os.environ.get("CEIGM_SUBLANE") == "1"
                        and self.d_state == 1
@@ -283,6 +340,8 @@ class QuadGroupSS2D(nn.Module):
                        and _resolved_backend(self.scan_backend) == "pallas")
         if use_sublane:
             yg = _quad_sublane(xc, p, d_inner, R, self.dtype)  # (B,H,W,K,D)
+        elif _use_quad_nhwc(self.d_state, self.scan_backend):
+            yg = quad_ssm_nhwc(xc, p, R, self.directions)      # (B,H,W,K,D)
         else:
             # generic path: row-layout cross-scan + grouped scan op
             xs = jnp.stack(

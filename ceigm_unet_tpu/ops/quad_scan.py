@@ -1,0 +1,375 @@
+"""In-place 2-D directional scan — the fused NHWC quad-scan primitive.
+
+TPU-native replacement for the reference's CrossScan_k + selective-scan +
+CrossMerge_k pipeline (gm-unet/model/gm/csms6s.py:56-206 + the CUDA scan,
+gm-unet/model/gm/groupmamba.py:99-146): instead of materializing each scan
+direction as a channel-first (B, C, L) copy, the first-order recurrence is
+evaluated *in the natural channel-last layout* with the pixel ordering of
+the direction baked into the kernel:
+
+- direction 1 (row-major fwd)  : W-level lane-shift doubling scan inside
+  each image row of the (H, W*C) view, then an H-level sublane doubling
+  scan of row summaries, then a fold (two-level scan — exact, no
+  exp/rescale tricks);
+- direction 2 (col-major fwd)  : the transpose ordering, computed with the
+  roles of the two levels swapped — NO data transpose anywhere;
+- directions 3/4: the same two kernels run backward (shift directions
+  flipped) — NO flips in HBM.
+
+Outputs land in pixel order, so the 4-direction "merge" of the reference
+becomes a plain sum — layout cost of the whole cross-scan machinery: zero.
+
+The custom VJP uses the mathematical adjoint of a first-order linear scan:
+with g_t = gy_t + a_{t+1} g_{t+1} (a backward scan in the direction's pixel
+order), da_t = g_t * h_{t-1} and db_t = g_t. The backward scan reuses the
+same kernel with the direction reversed (the reverse of each of the 4
+directions is again one of the 4 orderings).
+
+fp32 in/out (decay products need fp32; the surrounding elementwise prologue
+and epilogue are XLA-fused and cast at the module level).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# direction codes follow ops/cross_scan.py (reference CrossScan_1..4):
+#   1: row-major fwd, 2: col-major fwd, 3: row-major bwd, 4: col-major bwd
+_REVERSE_DIR = {1: 3, 3: 1, 2: 4, 4: 2}
+
+
+def _doubling_sub(a, b, size, backward):
+    """Inclusive doubling scan along the sublane axis of (S, lanes)."""
+    k = 1
+    while k < size:
+        ones = jnp.ones((k, a.shape[1]), jnp.float32)
+        zeros = jnp.zeros((k, b.shape[1]), jnp.float32)
+        if backward:
+            a_sh = jnp.concatenate([a[k:], ones], axis=0)
+            b_sh = jnp.concatenate([b[k:], zeros], axis=0)
+        else:
+            a_sh = jnp.concatenate([ones, a[:-k]], axis=0)
+            b_sh = jnp.concatenate([zeros, b[:-k]], axis=0)
+        b = b + a * b_sh
+        a = a * a_sh
+        k *= 2
+    return a, b
+
+
+def _doubling_lane(a, b, W, C, backward):
+    """Inclusive doubling scan over W on (S, W*C) arrays: a lane shift by
+    k*C moves pixel w -> w+k for every channel."""
+    k = 1
+    while k < W:
+        S = a.shape[0]
+        ones = jnp.ones((S, k * C), jnp.float32)
+        zeros = jnp.zeros((S, k * C), jnp.float32)
+        if backward:
+            a_sh = jnp.concatenate([a[:, k * C:], ones], axis=1)
+            b_sh = jnp.concatenate([b[:, k * C:], zeros], axis=1)
+        else:
+            a_sh = jnp.concatenate([ones, a[:, :-k * C]], axis=1)
+            b_sh = jnp.concatenate([zeros, b[:, :-k * C]], axis=1)
+        b = b + a * b_sh
+        a = a * a_sh
+        k *= 2
+    return a, b
+
+
+def _rowmajor(a, b, H, W, C, backward):
+    """Row-major-order scan on the (H, W*C) view (direction 1 / 3)."""
+    a1, b1 = _doubling_lane(a, b, W, C, backward)
+    # row summaries sit at w = W-1 (fwd) / w = 0 (bwd). Mosaic can't consume
+    # non-zero lane-offset slices downstream -> roll summaries to offset 0.
+    if backward:
+        a_sum, b_sum = a1[:, :C], b1[:, :C]
+    else:
+        a_sum = pltpu.roll(a1, C, 1)[:, :C]
+        b_sum = pltpu.roll(b1, C, 1)[:, :C]
+    _, b2 = _doubling_sub(a_sum, b_sum, H, backward)
+    # exclusive prefix per row
+    if backward:
+        pre = jnp.concatenate([b2[1:], jnp.zeros((1, C), jnp.float32)], 0)
+    else:
+        pre = jnp.concatenate([jnp.zeros((1, C), jnp.float32), b2[:-1]], 0)
+    return b1 + a1 * jnp.tile(pre, (1, W))
+
+
+def _row_select(x, row):
+    """(S, lanes) -> (1, lanes): row `row`, materialized at offset 0.
+
+    A sublane roll+slice leaves the result at a non-zero sublane offset,
+    which Mosaic cannot feed into downstream lane concats ("offset mismatch
+    on non-concat dimension") — a masked sum reduction lands canonically.
+    """
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.sum(jnp.where(idx == row, x, 0.0), axis=0, keepdims=True)
+
+
+def _colmajor(a, b, H, W, C, backward):
+    """Column-major-order scan on the (H, W*C) view (direction 2 / 4)."""
+    a1, b1 = _doubling_sub(a, b, H, backward)
+    if backward:
+        a_sum, b_sum = a1[0:1], b1[0:1]
+    else:
+        a_sum = _row_select(a1, H - 1)
+        b_sum = _row_select(b1, H - 1)
+    _, b2 = _doubling_lane(a_sum, b_sum, W, C, backward)
+    # exclusive prefix per column
+    if backward:
+        pre = jnp.concatenate(
+            [b2[:, C:], jnp.zeros((1, C), jnp.float32)], axis=1)
+    else:
+        pre = jnp.concatenate(
+            [jnp.zeros((1, C), jnp.float32), b2[:, :-C]], axis=1)
+    return b1 + a1 * jnp.broadcast_to(pre, (H, W * C))
+
+
+def _kernel(H, W, C, direction, a_ref, b_ref, out_ref):
+    a = a_ref[...].astype(jnp.float32)
+    b = b_ref[...].astype(jnp.float32)
+    if direction in (1, 3):
+        h = _rowmajor(a, b, H, W, C, backward=(direction == 3))
+    else:
+        h = _colmajor(a, b, H, W, C, backward=(direction == 4))
+    out_ref[...] = h
+
+
+def _pad_c(C: int) -> int:
+    """Smallest lane-friendly channel count >= C: the in-kernel lane
+    shifts/rolls/tiles operate at stride C and only canonicalize when C
+    divides 128 (or is a multiple of it)."""
+    if C % 128 == 0 or 128 % C == 0:
+        return C
+    if C < 128:
+        return next(d for d in (1, 2, 4, 8, 16, 32, 64, 128) if d >= C)
+    return -(-C // 128) * 128
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("H", "W", "direction", "interpret"))
+def _scan2d_kernel(a, b, H, W, direction, interpret=False):
+    """(B, H*W, C) fp32 -> scanned h in pixel order, via one Pallas call."""
+    B, L, C0 = a.shape
+    C = _pad_c(C0)
+    if C != C0:
+        # pad with the scan identity (a=1, b=0); sliced off at the end
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, C - C0)), constant_values=1.0)
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, C - C0)))
+    a = a.reshape(B, H, W * C)
+    b = b.reshape(B, H, W * C)
+    out = pl.pallas_call(
+        functools.partial(_kernel, H, W, C, direction),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((None, H, W * C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((None, H, W * C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W * C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(a, b)
+    return out.reshape(B, L, C)[..., :C0]
+
+
+def _to_cm(x, H, W):
+    """(B, H*W, C) row-major -> column-major flat order."""
+    B, L, C = x.shape
+    return jnp.swapaxes(x.reshape(B, H, W, C), 1, 2).reshape(B, L, C)
+
+
+def _from_cm(x, H, W):
+    B, L, C = x.shape
+    return jnp.swapaxes(x.reshape(B, W, H, C), 1, 2).reshape(B, L, C)
+
+
+def _shift_flat(x, forward, fill):
+    """x[t] <- x[t+1] (forward=True) or x[t-1], `fill` at the open end."""
+    B, L, C = x.shape
+    pad = jnp.full((B, 1, C), fill, x.dtype)
+    if forward:
+        return jnp.concatenate([x[:, 1:], pad], axis=1)
+    return jnp.concatenate([pad, x[:, :-1]], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def scan2d(a, b, H, W, direction):
+    """h_t = a_t * h_{t-1} + b_t along scan `direction` (1..4), in place.
+
+    a, b: (B, H*W, C) fp32 in row-major pixel order, channel-last. The
+    recurrence runs over pixels in the direction's ordering; h is returned
+    in row-major pixel order (i.e. scan + merge-layout in one op).
+    """
+    return _scan2d_fwd(a, b, H, W, direction)[0]
+
+
+def _scan2d_fwd(a, b, H, W, direction):
+    interpret = jax.default_backend() != "tpu"
+    h = _scan2d_kernel(a, b, H, W, direction, interpret=interpret)
+    return h, (a, h)
+
+
+def _scan2d_bwd(H, W, direction, res, gh):
+    a, h = res
+    interpret = jax.default_backend() != "tpu"
+    rev = _REVERSE_DIR[direction]
+    if direction in (1, 3):
+        # row-major storage == scan order: flat shifts suffice
+        fwd = direction == 1
+        a_next = _shift_flat(a, forward=fwd, fill=1.0)
+        g = _scan2d_kernel(a_next, gh, H, W, rev, interpret=interpret)
+        h_prev = _shift_flat(h, forward=not fwd, fill=0.0)
+    else:
+        # column-major order: do the adjoint in the transposed flat layout
+        # (channel-last (H, W) swap — cheap, backward-only)
+        fwd = direction == 2
+        a_cm = _to_cm(a, H, W)
+        a_next = _shift_flat(a_cm, forward=fwd, fill=1.0)
+        gh_cm = _to_cm(gh, H, W)
+        # reverse of dir 2 (cm fwd) is cm bwd == row-major bwd (3) in the
+        # cm layout; reverse of dir 4 is row-major fwd (1) in the cm layout.
+        g_cm = _scan2d_kernel(a_next, gh_cm, W, H,
+                              3 if fwd else 1, interpret=interpret)
+        g = _from_cm(g_cm, H, W)
+        h_cm_prev = _shift_flat(_to_cm(h, H, W), forward=not fwd, fill=0.0)
+        h_prev = _from_cm(h_cm_prev, H, W)
+    da = g * h_prev
+    db = g
+    return da, db
+
+
+scan2d.defvjp(_scan2d_fwd, _scan2d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused directional selective scan (d_state = 1)
+#
+# The scan2d path materializes fp32 (B, L, C) decay/drive tensors in HBM;
+# at stage-1 shapes that HBM traffic costs ~5x the scan itself. This op
+# fuses the whole d_state=1 selective-scan pipeline into the direction
+# kernel: softplus(dt)+decay+drive construction, the two-level scan, and
+# the C*h + D*u output emission all happen in VMEM — HBM sees the four
+# low-precision inputs once and the output once (the TPU analogue of the
+# reference "ndstate" specialization, selective_scan_ndstate.h:26-58,
+# fused through the surrounding elementwise stage as well).
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(H, W, C, direction, u_ref, dt_ref, b_ref, c_ref,
+                  const_ref, out_ref):
+    u = u_ref[...].astype(jnp.float32)
+    dt = dt_ref[...].astype(jnp.float32)
+    Bv = b_ref[...].astype(jnp.float32)
+    Cv = c_ref[...].astype(jnp.float32)
+    # const rows (3, C): [A (negative), dt_bias, D] -> lane layout (1, W*C)
+    A = jnp.tile(const_ref[0:1, :], (1, W))
+    bias = jnp.tile(const_ref[1:2, :], (1, W))
+    Dv = jnp.tile(const_ref[2:3, :], (1, W))
+
+    d = jax.nn.softplus(dt + bias)
+    a = jnp.exp(d * A)
+    b = d * u * Bv
+    if direction in (1, 3):
+        h = _rowmajor(a, b, H, W, C, backward=(direction == 3))
+    else:
+        h = _colmajor(a, b, H, W, C, backward=(direction == 4))
+    out_ref[...] = (Cv * h + Dv * u).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "direction",
+                                             "interpret"))
+def _sscan_dir_kernel(u, dt, Bb, Cb, consts, H, W, direction,
+                      interpret=False):
+    """u, dt, Bb, Cb: (B, H*W, C) any dtype; consts (3, C) fp32 -> y fp32."""
+    B, L, C0 = u.shape
+    C = _pad_c(C0)
+    if C != C0:
+        pad3 = ((0, 0), (0, 0), (0, C - C0))
+        u = jnp.pad(u, pad3)
+        dt = jnp.pad(dt, pad3)
+        Bb = jnp.pad(Bb, pad3)
+        Cb = jnp.pad(Cb, pad3)
+        # A=-1 keeps exp(d*A) <= 1 in padded lanes (no inf/overflow junk)
+        consts = jnp.pad(consts, ((0, 0), (0, C - C0)),
+                         constant_values=-1.0)
+    dty = u.dtype
+    view = lambda x: x.reshape(B, H, W * C)
+    spec = pl.BlockSpec((None, H, W * C), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, H, W, C, direction),
+        grid=(B,),
+        in_specs=[spec] * 4 + [
+            pl.BlockSpec((3, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W * C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(view(u), view(dt), view(Bb), view(Cb), consts)
+    return out.reshape(B, L, C)[..., :C0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def sscan_dir(u, dt, Bb, Cb, A, bias, Dv, H, W, direction):
+    """Fused d_state=1 selective scan along direction (1..4), in place.
+
+    u, dt, Bb, Cb: (B, H*W, C) (low precision fine — fp32 inside);
+    A (negative), bias, Dv: (C,) fp32. Returns fp32
+        y = Cb * scan_dir(exp(softplus(dt+bias)*A), softplus(dt+bias)*u*Bb)
+            + Dv * u.
+    """
+    return _sscan_fwd(u, dt, Bb, Cb, A, bias, Dv, H, W, direction)[0]
+
+
+def _consts(A, bias, Dv):
+    return jnp.stack([A.astype(jnp.float32), bias.astype(jnp.float32),
+                      Dv.astype(jnp.float32)])
+
+
+def _sscan_fwd(u, dt, Bb, Cb, A, bias, Dv, H, W, direction):
+    interpret = jax.default_backend() != "tpu"
+    y = _sscan_dir_kernel(u, dt, Bb, Cb, _consts(A, bias, Dv), H, W,
+                          direction, interpret=interpret)
+    return y, (u, dt, Bb, Cb, A, bias, Dv)
+
+
+def _sscan_bwd(H, W, direction, res, gy):
+    u0, dt0, Bb0, Cb0, A, bias, Dv = res
+    interpret = jax.default_backend() != "tpu"
+    uf = u0.astype(jnp.float32)
+    Bf = Bb0.astype(jnp.float32)
+    Cf = Cb0.astype(jnp.float32)
+    gy = gy.astype(jnp.float32)
+
+    pre = dt0.astype(jnp.float32) + bias.astype(jnp.float32)
+    d = jax.nn.softplus(pre)
+    a = jnp.exp(d * A.astype(jnp.float32))
+    b = d * uf * Bf
+    # recompute h (mirrors the CUDA bwd chunk-recompute design)
+    h = _scan2d_kernel(a, b, H, W, direction, interpret=interpret)
+
+    gh = Cf * gy
+    da, db = _scan2d_bwd(H, W, direction, (a, h), gh)
+
+    dd = db * uf * Bf + (da * a) * A.astype(jnp.float32)
+    ddt = dd * jax.nn.sigmoid(pre)
+    du = db * d * Bf + Dv.astype(jnp.float32) * gy
+    dBb = db * d * uf
+    dCb = h * gy
+    dA = jnp.sum(da * a * d, axis=(0, 1))
+    dbias = jnp.sum(ddt, axis=(0, 1))
+    dD = jnp.sum(gy * uf, axis=(0, 1))
+
+    cast = lambda x, r: x.astype(r.dtype)
+    return (cast(du, u0), cast(ddt, dt0), cast(dBb, Bb0), cast(dCb, Cb0),
+            cast(dA, A), cast(dbias, bias), cast(dD, Dv))
+
+
+sscan_dir.defvjp(_sscan_fwd, _sscan_bwd)
