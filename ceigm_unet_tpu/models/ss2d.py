@@ -184,6 +184,52 @@ def _quad_sublane(xc, p, d_inner, R, dtype):
     return jnp.stack([y1, y2, y3, y4], axis=3)
 
 
+def _quad_planar(xc, z, p, R, ln_scale, ln_bias, directions, H, W, D,
+                 dtype):
+    """Group-planar fused quad path: dt/B/C projections as block-diagonal
+    dense GEMMs, then one pallas launch per group scanning its (H, W*D)
+    block in its own direction with group-LN + z-gate fused in the kernel
+    (ops/quad_scan.py:sscan_quad_ln).
+
+    xc, z: (B, H, W, K*D) planar post conv+silu / gate -> gated normalized
+    activation (B, K, L, D) in `dtype`, pixel-ordered (merge-free).
+    """
+    from ceigm_unet_tpu.ops.quad_scan import sscan_quad_ln
+    K = len(directions)
+    B_ = xc.shape[0]
+    L = H * W
+    Din = K * D
+    xcf = xc.reshape(B_ * L, Din)
+
+    wx_bd = jax.scipy.linalg.block_diag(
+        *[jnp.swapaxes(p.x_proj_weight[k], 0, 1) for k in range(K)]
+    ).astype(dtype)                                     # (Din, K*(R+2))
+    x_dbl = (xcf @ wx_bd).reshape(B_, L, K, R + 2)
+    dts, Bs, Cs = x_dbl[..., :R], x_dbl[..., R], x_dbl[..., R + 1]
+
+    wdt_bd = jax.scipy.linalg.block_diag(
+        *[jnp.swapaxes(p.dt_projs_weight[k], 0, 1) for k in range(K)]
+    ).astype(dtype)                                     # (K*R, Din)
+    dt = (dts.reshape(B_ * L, K * R) @ wdt_bd).reshape(B_, L, K, D)
+
+    ut = jnp.swapaxes(xc.reshape(B_, L, K, D), 1, 2)    # (B, K, L, D)
+    dtt = jnp.swapaxes(dt, 1, 2)
+    zt = jnp.swapaxes(z.reshape(B_, L, K, D), 1, 2)
+    Bb = jnp.broadcast_to(jnp.swapaxes(Bs, 1, 2)[..., None],
+                          (B_, K, L, D)).astype(dtype)
+    Cb = jnp.broadcast_to(jnp.swapaxes(Cs, 1, 2)[..., None],
+                          (B_, K, L, D)).astype(dtype)
+
+    A = -jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D)
+    bias = p.dt_projs_bias.astype(jnp.float32)
+    Ds = p.Ds.astype(jnp.float32).reshape(K, D)
+    y = sscan_quad_ln(ut, dtt, Bb, Cb, zt, A, bias, Ds,
+                      (ln_scale, ln_bias), H, W,
+                      tuple(int(d) for d in directions))
+    from ceigm_unet_tpu.utils.debug import check_nan_inf
+    return check_nan_inf("quad_planar.y", y)
+
+
 class _SSMParams(nn.Module):
     """Shared parameter bundle for the stacked SSM projections."""
     k: int
@@ -304,27 +350,35 @@ class QuadGroupSS2D(nn.Module):
         K = len(self.directions)
         dg = self.dim // K                      # per-group d_model
         d_inner = int(self.ssm_ratio * dg)
+        Din = K * d_inner
         R = math.ceil(dg / 16)
         B_, H, W, C = x.shape
         L = H * W
 
-        xg = x.reshape(B_, H, W, K, dg)
+        quad_fast = _use_quad_nhwc(self.d_state, self.scan_backend)
 
-        # per-group in_proj (stacked): (K, dg, 2*d_inner)
+        # per-group in_proj (stacked): (K, dg, 2*d_inner). Computed as ONE
+        # dense block-diagonal matmul — the K-grouped einsum's tiny
+        # (dg x 2*d_inner) contractions profile ~5x slower than a full
+        # MXU-tiled (C x 2*Din) GEMM; the zero blocks are free FLOPs.
         w_in = self.param("in_proj_weight", trunc_normal(),
                           (K, dg, 2 * d_inner))
-        xz = jnp.einsum("bhwkc,kcd->bhwkd", xg.astype(self.dtype),
-                        w_in.astype(self.dtype))
-        xc, z = jnp.split(xz, 2, axis=-1)
+        w_bd = jax.scipy.linalg.block_diag(
+            *[w_in[k] for k in range(K)]).astype(self.dtype)
+        # column permutation: [xc_k | z_k] per block -> [all xc | all z]
+        cols = np.arange(K * 2 * d_inner).reshape(K, 2 * d_inner)
+        perm = np.concatenate([cols[:, :d_inner].ravel(),
+                               cols[:, d_inner:].ravel()])
+        xz = x.astype(self.dtype).reshape(B_ * L, C) @ w_bd[:, perm]
+        xz = xz.reshape(B_, H, W, 2 * Din)
+        xc, z = xz[..., :Din], xz[..., Din:]
         z = nn.silu(z)
 
         # stacked depthwise conv == one depthwise conv over K*d_inner chans
         from ceigm_unet_tpu.models.layers import DwConv
-        xc = xc.reshape(B_, H, W, K * d_inner)
-        xc = DwConv(features=K * d_inner, kernel=self.d_conv,
+        xc = DwConv(features=Din, kernel=self.d_conv,
                     use_bias=self.conv_bias, name="conv2d")(xc)
         xc = nn.silu(xc)
-        xc = xc.reshape(B_, H, W, K, d_inner)
 
         p = _SSMParams(k=K, d_inner=d_inner, d_state=self.d_state,
                        dt_rank=R, name="ssm")
@@ -338,14 +392,30 @@ class QuadGroupSS2D(nn.Module):
                        and tuple(self.directions) == (1, 2, 3, 4)
                        and H * W <= 4096   # single-block sublane scan limit
                        and _resolved_backend(self.scan_backend) == "pallas")
+        ln_scale = self.param("out_norm_scale", nn.initializers.ones,
+                              (K, d_inner))
+        ln_bias = self.param("out_norm_bias", nn.initializers.zeros,
+                             (K, d_inner))
+        w_out = self.param("out_proj_weight", trunc_normal(),
+                           (K, d_inner, dg))
+
         if use_sublane:
-            yg = _quad_sublane(xc, p, d_inner, R, self.dtype)  # (B,H,W,K,D)
-        elif _use_quad_nhwc(self.d_state, self.scan_backend):
-            yg = quad_ssm_nhwc(xc, p, R, self.directions)      # (B,H,W,K,D)
+            yg = _quad_sublane(xc.reshape(B_, H, W, K, d_inner), p, d_inner,
+                               R, self.dtype)               # (B,H,W,K,D)
+        elif quad_fast and self.d_state == 1:
+            yg = _quad_planar(xc, z, p, R, ln_scale, ln_bias,
+                              self.directions, H, W, d_inner,
+                              self.dtype)          # (B,K,L,D) gated, dtype
+            yt = jnp.swapaxes(yg, 1, 2).reshape(B_ * L, Din)
+            wout_bd = jax.scipy.linalg.block_diag(
+                *[w_out[k] for k in range(K)]).astype(self.dtype)
+            out = yt.astype(self.dtype) @ wout_bd
+            return out.reshape(B_, H, W, C)
         else:
+            xcg = xc.reshape(B_, H, W, K, d_inner)
             # generic path: row-layout cross-scan + grouped scan op
             xs = jnp.stack(
-                [cross_scan_1d(xc[:, :, :, i], k)
+                [cross_scan_1d(xcg[:, :, :, i], k)
                  for i, k in enumerate(self.directions)], axis=1)  # (B,K,D,L)
             ys = ssm_scan_core(xs, p.x_proj_weight, p.dt_projs_weight,
                                p.dt_projs_bias, p.A_logs, p.Ds,
@@ -354,17 +424,11 @@ class QuadGroupSS2D(nn.Module):
                 [cross_merge_1d(ys[:, i], k, H, W)
                  for i, k in enumerate(self.directions)], axis=3)
 
-        ln_scale = self.param("out_norm_scale", nn.initializers.ones,
-                              (K, d_inner))
-        ln_bias = self.param("out_norm_bias", nn.initializers.zeros,
-                             (K, d_inner))
         yg = yg.astype(jnp.float32)
         mu = jnp.mean(yg, axis=-1, keepdims=True)
         var = jnp.var(yg, axis=-1, keepdims=True)
         yg = (yg - mu) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
-        yg = yg.astype(self.dtype) * z
+        yg = yg.astype(self.dtype) * z.reshape(B_, H, W, K, d_inner)
 
-        w_out = self.param("out_proj_weight", trunc_normal(),
-                           (K, d_inner, dg))
         out = jnp.einsum("bhwkd,kdc->bhwkc", yg, w_out.astype(self.dtype))
         return out.reshape(B_, H, W, C)
