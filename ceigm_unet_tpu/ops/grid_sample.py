@@ -106,7 +106,7 @@ def grid_sample_bilinear_mm(x: jnp.ndarray, grid: jnp.ndarray,
 
 
 def grid_sample_bilinear_fused(x: jnp.ndarray, grid: jnp.ndarray,
-                               p_tile: int = 256) -> jnp.ndarray:
+                               p_tile: int = 512) -> jnp.ndarray:
     """Pallas-fused version of :func:`grid_sample_bilinear_mm`.
 
     The XLA chunked form materializes a (P, W, C) intermediate to HBM
@@ -147,6 +147,8 @@ def grid_sample_bilinear_fused(x: jnp.ndarray, grid: jnp.ndarray,
         wyt = wy_ref[0]                      # (H, PT)
         wxt = wx_ref[0]                      # (W, PT)
         im = im_ref[0].astype(jnp.float32)   # (H*W, C)
+        # (an iota-selector-matmul build of w2 was A/B-tested ~25% slower
+        # than this broadcast build — tools/exp_gs_ab.py)
         w2 = (wyt[:, None, :] * wxt[None, :, :]).reshape(H * W, -1)
         o = jax.lax.dot_general(w2, im, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)

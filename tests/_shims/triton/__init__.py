@@ -9,3 +9,4 @@ def autotune(*a, **k):
     return lambda f: f
 def cdiv(a, b):
     return -(-a // b)
+from . import language  # noqa: F401  (torch._dynamo expects the submodule)

@@ -95,5 +95,17 @@ def load_reference():
     # undefined; the intended decoder is best_decoder.EMCAD (SURVEY.md §2.4)
     if not hasattr(model, "EMCAD22nn"):
         model.EMCAD22nn = model.EMCAD22n
+
+    # Drop the triton shim once the reference modules hold their references:
+    # a lingering fake ``triton`` makes torch._dynamo/_inductor believe
+    # triton is installed and later crashes torch.optim construction
+    # (AttributeError: triton.language.dtype) in unrelated tests.
+    if SHIM_DIR in sys.path:
+        sys.path.remove(SHIM_DIR)  # loguru/timm shims stay in sys.modules
+    for name in [m for m in sys.modules
+                 if m == "triton" or m.startswith("triton.")]:
+        mod = sys.modules[name]
+        if getattr(mod, "__file__", "") and SHIM_DIR in mod.__file__:
+            del sys.modules[name]
     _loaded = model
     return model
