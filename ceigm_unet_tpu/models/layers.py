@@ -93,11 +93,13 @@ class _DwParams(nn.Module):
     """Parameter holder with nn.Conv-compatible names (kernel/bias)."""
     k: int
     c: int
+    use_bias: bool = True
 
     def setup(self):
         self.kernel = self.param("kernel", conv_fan_out_normal_grouped(
             self.c), (self.k, self.k, 1, self.c))
-        self.bias = self.param("bias", nn.initializers.zeros, (self.c,))
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros, (self.c,))
 
 
 class InceptionDWConvMultiScale(nn.Module):

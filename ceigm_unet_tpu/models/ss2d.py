@@ -132,67 +132,17 @@ def quad_ssm_nhwc(xc_k: jnp.ndarray, p, R: int,
     return check_nan_inf("quad_ssm_nhwc.y", y)
 
 
-def _quad_sublane(xc, p, d_inner, R, dtype):
-    """Transpose-free quad-group scan: channels stay on lanes, the sequence
-    on sublanes (NHWC-native). Direction layouts are a cheap spatial (H, W)
-    swap (lane dim intact) for directions 2/4 and sequence flips for 3/4 —
-    replacing the (B, C, L) transposes that dominate the row-layout path on
-    TPU. Weight layout identical to the generic path.
-
-    xc: (B, H, W, 4, D) post conv+SiLU -> returns (B, H, W, 4, D) fp32.
-    """
-    from ceigm_unet_tpu.ops.scan_pallas import selective_scan_sublane
-    B_, H, W, K, D = xc.shape
-    L = H * W
-    N = 1
-
-    x_dbl = jnp.einsum("bhwkd,kcd->bhwkc", xc,
-                       p.x_proj_weight.astype(xc.dtype))
-    dts, Bs, Cs = jnp.split(x_dbl, [R, R + N], axis=-1)
-    dt = jnp.einsum("bhwkr,kdr->bhwkd", dts,
-                    p.dt_projs_weight.astype(xc.dtype))
-    Bv = jnp.broadcast_to(Bs, (B_, H, W, K, D))
-    Cv = jnp.broadcast_to(Cs, (B_, H, W, K, D))
-
-    def to_scan(q):
-        """(B, H, W, 4, D) -> (B, L, 4*D): directions 1/3 use the row-major
-        layout and 2/4 the column-major; 3/4 are scanned BACKWARD in-kernel
-        (fwd_mask), so no flips touch HBM and outputs land in place."""
-        rm13 = q[:, :, :, (0, 2)].reshape(B_, L, 2 * D)      # [g1 | g3]
-        cm24 = q[:, :, :, (1, 3)].transpose(0, 2, 1, 3, 4)   # swap H, W
-        cm24 = cm24.reshape(B_, L, 2 * D)                    # [g2 | g4]
-        return jnp.concatenate([rm13, cm24], axis=-1)
-
-    # lane order after to_scan: [g1, g3, g2, g4]
-    perm = np.concatenate([np.arange(0, D), np.arange(2 * D, 3 * D),
-                           np.arange(D, 2 * D), np.arange(3 * D, 4 * D)])
-    A_lane = -jnp.exp(p.A_logs[:, 0].astype(jnp.float32))[perm]
-    bias_lane = p.dt_projs_bias.reshape(-1)[perm]
-    D_lane = p.Ds[perm]
-    fwd_mask = jnp.asarray(
-        np.concatenate([np.ones(D), np.zeros(D), np.ones(D), np.zeros(D)]),
-        jnp.float32)
-
-    y = selective_scan_sublane(
-        to_scan(xc), to_scan(dt), to_scan(Bv), to_scan(Cv),
-        A_lane, bias_lane, D_lane, fwd_mask, out_dtype=jnp.float32)
-
-    y1 = y[..., 0 * D:1 * D].reshape(B_, H, W, D)
-    y3 = y[..., 1 * D:2 * D].reshape(B_, H, W, D)
-    y2 = y[..., 2 * D:3 * D].reshape(B_, W, H, D).transpose(0, 2, 1, 3)
-    y4 = y[..., 3 * D:4 * D].reshape(B_, W, H, D).transpose(0, 2, 1, 3)
-    return jnp.stack([y1, y2, y3, y4], axis=3)
-
-
-def _quad_planar(xc, z, p, R, ln_scale, ln_bias, directions, H, W, D,
+def _quad_planar(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
                  dtype):
     """Group-planar fused quad path: dt/B/C projections as block-diagonal
     dense GEMMs, then one pallas launch per group scanning its (H, W*D)
-    block in its own direction with group-LN + z-gate fused in the kernel
-    (ops/quad_scan.py:sscan_quad_ln).
+    block in its own direction with the group-LN fused in the kernel
+    (ops/quad_scan.py:sscan_quad_ln). B/C enter as per-pixel scalar maps,
+    lane-expanded in-kernel (no (B,K,L,D) broadcast copies in HBM).
 
-    xc, z: (B, H, W, K*D) planar post conv+silu / gate -> gated normalized
-    activation (B, K, L, D) in `dtype`, pixel-ordered (merge-free).
+    xc: (B, H, W, K*D) planar post conv+silu -> normalized (ungated)
+    activation (B, K, L, D) in `dtype`, pixel-ordered (merge-free); the
+    z-gate is applied by the caller, fused into the out-proj GEMM.
     """
     from ceigm_unet_tpu.ops.quad_scan import sscan_quad_ln
     K = len(directions)
@@ -214,16 +164,13 @@ def _quad_planar(xc, z, p, R, ln_scale, ln_bias, directions, H, W, D,
 
     ut = jnp.swapaxes(xc.reshape(B_, L, K, D), 1, 2)    # (B, K, L, D)
     dtt = jnp.swapaxes(dt, 1, 2)
-    zt = jnp.swapaxes(z.reshape(B_, L, K, D), 1, 2)
-    Bb = jnp.broadcast_to(jnp.swapaxes(Bs, 1, 2)[..., None],
-                          (B_, K, L, D)).astype(dtype)
-    Cb = jnp.broadcast_to(jnp.swapaxes(Cs, 1, 2)[..., None],
-                          (B_, K, L, D)).astype(dtype)
+    Bt = jnp.swapaxes(Bs, 1, 2)                          # (B, K, L)
+    Ct = jnp.swapaxes(Cs, 1, 2)
 
     A = -jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D)
     bias = p.dt_projs_bias.astype(jnp.float32)
     Ds = p.Ds.astype(jnp.float32).reshape(K, D)
-    y = sscan_quad_ln(ut, dtt, Bb, Cb, zt, A, bias, Ds,
+    y = sscan_quad_ln(ut, dtt, Bt, Ct, A, bias, Ds,
                       (ln_scale, ln_bias), H, W,
                       tuple(int(d) for d in directions))
     from ceigm_unet_tpu.utils.debug import check_nan_inf
@@ -369,29 +316,20 @@ class QuadGroupSS2D(nn.Module):
         cols = np.arange(K * 2 * d_inner).reshape(K, 2 * d_inner)
         perm = np.concatenate([cols[:, :d_inner].ravel(),
                                cols[:, d_inner:].ravel()])
-        xz = x.astype(self.dtype).reshape(B_ * L, C) @ w_bd[:, perm]
-        xz = xz.reshape(B_, H, W, 2 * Din)
-        xc, z = xz[..., :Din], xz[..., Din:]
-        z = nn.silu(z)
+        xp = x.astype(self.dtype).reshape(B_ * L, C)
+        # two GEMMs (not one + lane slice): each output feeds a different
+        # consumer layout; slicing a fused GEMM output costs a relayout
+        xc = (xp @ w_bd[:, perm[:Din]]).reshape(B_, L, Din)
+        z = nn.silu(xp @ w_bd[:, perm[Din:]]).reshape(B_, L, Din)
 
-        # stacked depthwise conv == one depthwise conv over K*d_inner chans
-        from ceigm_unet_tpu.models.layers import DwConv
-        xc = DwConv(features=Din, kernel=self.d_conv,
-                    use_bias=self.conv_bias, name="conv2d")(xc)
-        xc = nn.silu(xc)
+        from ceigm_unet_tpu.models.layers import _DwParams
+        dwp = _DwParams(self.d_conv, Din, use_bias=self.conv_bias,
+                        name="conv2d")
+        dwb = (dwp.bias if self.conv_bias
+               else jnp.zeros((Din,), jnp.float32))
 
         p = _SSMParams(k=K, d_inner=d_inner, d_state=self.d_state,
                        dt_rank=R, name="ssm")
-
-        # Experimental transpose-free layout (see _quad_sublane); the
-        # backward-masked kernel currently compiles to slow Mosaic code on
-        # v5e — superseded by the quad_nhwc path below, kept for A/B only.
-        import os
-        use_sublane = (os.environ.get("CEIGM_SUBLANE") == "1"
-                       and self.d_state == 1
-                       and tuple(self.directions) == (1, 2, 3, 4)
-                       and H * W <= 4096   # single-block sublane scan limit
-                       and _resolved_backend(self.scan_backend) == "pallas")
         ln_scale = self.param("out_norm_scale", nn.initializers.ones,
                               (K, d_inner))
         ln_bias = self.param("out_norm_bias", nn.initializers.zeros,
@@ -399,30 +337,36 @@ class QuadGroupSS2D(nn.Module):
         w_out = self.param("out_proj_weight", trunc_normal(),
                            (K, d_inner, dg))
 
-        if use_sublane:
-            yg = _quad_sublane(xc.reshape(B_, H, W, K, d_inner), p, d_inner,
-                               R, self.dtype)               # (B,H,W,K,D)
-        elif quad_fast and self.d_state == 1:
-            yg = _quad_planar(xc, z, p, R, ln_scale, ln_bias,
+        from ceigm_unet_tpu.ops.dwconv_pallas import depthwise_conv2d
+        xc = xc.reshape(B_, H, W, Din)
+        xc = nn.silu(depthwise_conv2d(xc, dwp.kernel,
+                                      dwb if self.conv_bias else None))
+
+        if quad_fast and self.d_state == 1:
+            yg = _quad_planar(xc, p, R, ln_scale, ln_bias,
                               self.directions, H, W, d_inner,
-                              self.dtype)          # (B,K,L,D) gated, dtype
+                              self.dtype)       # (B,K,L,D) normalized
             yt = jnp.swapaxes(yg, 1, 2).reshape(B_ * L, Din)
             wout_bd = jax.scipy.linalg.block_diag(
                 *[w_out[k] for k in range(K)]).astype(self.dtype)
-            out = yt.astype(self.dtype) @ wout_bd
+            # z-gate fused into the out-proj GEMM prologue (z is planar)
+            out = ((yt.astype(self.dtype) * z.reshape(B_ * L, Din))
+                   @ wout_bd)
             return out.reshape(B_, H, W, C)
-        else:
-            xcg = xc.reshape(B_, H, W, K, d_inner)
-            # generic path: row-layout cross-scan + grouped scan op
-            xs = jnp.stack(
-                [cross_scan_1d(xcg[:, :, :, i], k)
-                 for i, k in enumerate(self.directions)], axis=1)  # (B,K,D,L)
-            ys = ssm_scan_core(xs, p.x_proj_weight, p.dt_projs_weight,
-                               p.dt_projs_bias, p.A_logs, p.Ds,
-                               self.d_state, R, self.scan_backend)
-            yg = jnp.stack(
-                [cross_merge_1d(ys[:, i], k, H, W)
-                 for i, k in enumerate(self.directions)], axis=3)
+
+        z = z.reshape(B_, H, W, Din)
+
+        # generic path: row-layout cross-scan + grouped scan op
+        xcg = xc.reshape(B_, H, W, K, d_inner)
+        xs = jnp.stack(
+            [cross_scan_1d(xcg[:, :, :, i], k)
+             for i, k in enumerate(self.directions)], axis=1)  # (B,K,D,L)
+        ys = ssm_scan_core(xs, p.x_proj_weight, p.dt_projs_weight,
+                           p.dt_projs_bias, p.A_logs, p.Ds,
+                           self.d_state, R, self.scan_backend)
+        yg = jnp.stack(
+            [cross_merge_1d(ys[:, i], k, H, W)
+             for i, k in enumerate(self.directions)], axis=3)
 
         yg = yg.astype(jnp.float32)
         mu = jnp.mean(yg, axis=-1, keepdims=True)

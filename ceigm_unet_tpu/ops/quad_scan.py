@@ -375,119 +375,7 @@ def _sscan_bwd(H, W, direction, res, gy):
 sscan_dir.defvjp(_sscan_fwd, _sscan_bwd)
 
 
-# ---------------------------------------------------------------------------
-# All-directions fused quad scan: one pallas_call, grid (B, K), the k-th
-# grid step scanning its (H, W*C) block in directions[k]'s pixel order.
-# Inputs are group-planar (B, K, L, C) so every block read is zero-copy —
-# the per-direction slice copies of the sscan_dir sequence disappear.
-# ---------------------------------------------------------------------------
 
-
-def _fused_quad_kernel(H, W, C, dirn, u_ref, dt_ref, b_ref, c_ref,
-                       const_ref, out_ref):
-    u = u_ref[...].astype(jnp.float32)
-    dt = dt_ref[...].astype(jnp.float32)
-    Bv = b_ref[...].astype(jnp.float32)
-    Cv = c_ref[...].astype(jnp.float32)
-    A = jnp.tile(const_ref[0:1, :], (1, W))
-    bias = jnp.tile(const_ref[1:2, :], (1, W))
-    Dv = jnp.tile(const_ref[2:3, :], (1, W))
-
-    d = jax.nn.softplus(dt + bias)
-    a = jnp.exp(d * A)
-    b = d * u * Bv
-    if dirn in (1, 3):
-        h = _rowmajor(a, b, H, W, C, backward=(dirn == 3))
-    else:
-        h = _colmajor(a, b, H, W, C, backward=(dirn == 4))
-    out_ref[...] = (Cv * h + Dv * u).astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("H", "W", "directions",
-                                             "interpret"))
-def _sscan_quad_kernel(u, dt, Bb, Cb, consts, H, W, directions,
-                       interpret=False):
-    """u, dt, Bb, Cb: (B, K, H*W, C); consts (3, K, C) fp32 -> y fp32.
-
-    One pallas_call per group, each with its group index PINNED in the
-    BlockSpec index_map — reads stay zero-copy slices of the planar
-    (B, K, H, W*C) arrays, and each kernel contains exactly one scan body
-    (a single grid-(B,K) kernel with pl.when-selected directions was
-    measured executing ALL branch bodies per step: ~4x the scan compute).
-    """
-    B, K, L, C0 = u.shape
-    C = _pad_c(C0)
-    if C != C0:
-        pad4 = ((0, 0), (0, 0), (0, 0), (0, C - C0))
-        u = jnp.pad(u, pad4)
-        dt = jnp.pad(dt, pad4)
-        Bb = jnp.pad(Bb, pad4)
-        Cb = jnp.pad(Cb, pad4)
-        consts = jnp.pad(consts, ((0, 0), (0, 0), (0, C - C0)),
-                         constant_values=-1.0)
-    # consts (3, K, C) -> (K, 8, C): the sublane dim must be 8-aligned for
-    # a TPU block; rows 0..2 hold [A, bias, D], the rest are padding.
-    consts = jnp.pad(jnp.swapaxes(consts, 0, 1), ((0, 0), (0, 5), (0, 0)))
-    view = lambda x: x.reshape(B, K, H, W * C)
-    uv, dtv, bv, cv = view(u), view(dt), view(Bb), view(Cb)
-
-    outs = []
-    for g, dirn in enumerate(directions):
-        spec = pl.BlockSpec((None, None, H, W * C),
-                            lambda i, g=g: (i, g, 0, 0),
-                            memory_space=pltpu.VMEM)
-        y = pl.pallas_call(
-            functools.partial(_fused_quad_kernel, H, W, C, int(dirn)),
-            grid=(B,),
-            in_specs=[spec] * 4 + [
-                pl.BlockSpec((None, 8, C), lambda i, g=g: (g, 0, 0),
-                             memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((None, H, W * C), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, H, W * C), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(uv, dtv, bv, cv, consts)
-        outs.append(y.reshape(B, L, C))
-    return jnp.stack(outs, axis=1)[..., :C0]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def sscan_quad(u, dt, Bb, Cb, A, bias, Dv, H, W, directions):
-    """Fused d_state=1 selective scan, all K directions in one launch.
-
-    u, dt, Bb, Cb: (B, K, H*W, C) group-planar; A, bias, Dv: (K, C) fp32;
-    directions: static tuple of scan directions per group. Returns fp32
-    y (B, K, H*W, C) in pixel order (merge-ready).
-    """
-    return _sscan_quad_fwd(u, dt, Bb, Cb, A, bias, Dv, H, W, directions)[0]
-
-
-def _sscan_quad_fwd(u, dt, Bb, Cb, A, bias, Dv, H, W, directions):
-    interpret = jax.default_backend() != "tpu"
-    consts = jnp.stack([A.astype(jnp.float32), bias.astype(jnp.float32),
-                        Dv.astype(jnp.float32)])
-    y = _sscan_quad_kernel(u, dt, Bb, Cb, consts, H, W, tuple(directions),
-                           interpret=interpret)
-    return y, (u, dt, Bb, Cb, A, bias, Dv)
-
-
-def _sscan_quad_bwd(H, W, directions, res, gy):
-    u, dt, Bb, Cb, A, bias, Dv = res
-    per_k = [
-        _sscan_bwd(H, W, d,
-                   (u[:, k], dt[:, k], Bb[:, k], Cb[:, k],
-                    A[k], bias[k], Dv[k]), gy[:, k])
-        for k, d in enumerate(directions)]
-    du_l, ddt_l, dBb_l, dCb_l, dA_l, dbias_l, dD_l = zip(*per_k)
-    stk1 = lambda xs: jnp.stack(xs, axis=1)   # tensors -> (B, K, L, C)
-    stk0 = lambda xs: jnp.stack(xs, axis=0)   # consts  -> (K, C)
-    return (stk1(du_l), stk1(ddt_l), stk1(dBb_l), stk1(dCb_l),
-            stk0(dA_l), stk0(dbias_l), stk0(dD_l))
-
-
-sscan_quad.defvjp(_sscan_quad_fwd, _sscan_quad_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -510,32 +398,25 @@ def _seg_mats(W, C):
     return S, ST
 
 
-def _ln_gate(y, z, ln_s, ln_b, H, W, C, true_c):
-    """Group-LN over each pixel's C lanes + gate, on (H, W*C) arrays."""
-    S, ST = _seg_mats(W, C)
-    dot = lambda x, m: jax.lax.dot_general(
-        x, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    inv = 1.0 / true_c
-    m = dot(y, S) * inv                       # (H, W) per-pixel mean
-    q = dot(y * y, S) * inv                   # E[y^2]
-    v = q - m * m
-    mb = dot(m, ST)                           # broadcast back to (H, W*C)
-    ivb = dot(jax.lax.rsqrt(v + 1e-5), ST)
-    return ((y - mb) * ivb * ln_s + ln_b) * z
-
-
-def _fused_quad_ln_kernel(H, W, C, true_c, dirn, u_ref, dt_ref, b_ref,
-                          c_ref, z_ref, const_ref, out_ref):
+def _fused_quad_ln_kernel(H, W, C, true_c, dirn, u_ref, dt_ref, bs_ref,
+                          cs_ref, const_ref, out_ref):
     u = u_ref[...].astype(jnp.float32)
     dt = dt_ref[...].astype(jnp.float32)
-    Bv = b_ref[...].astype(jnp.float32)
-    Cv = c_ref[...].astype(jnp.float32)
-    z = z_ref[...].astype(jnp.float32)
     A = jnp.tile(const_ref[0:1, :], (1, W))
     bias = jnp.tile(const_ref[1:2, :], (1, W))
     Dv = jnp.tile(const_ref[2:3, :], (1, W))
     ln_s = jnp.tile(const_ref[3:4, :], (1, W))
     ln_b = jnp.tile(const_ref[4:5, :], (1, W))
+
+    # per-pixel scalar B/C maps (H, W) -> (H, W*C) via the selector matmul
+    # (passing them pre-broadcast costs two (B,K,L,C) HBM copies at the
+    # pallas layout boundary — traced at ~0.4 ms per quad block)
+    _, ST = _seg_mats(W, C)
+    expand = lambda s: jax.lax.dot_general(
+        s.astype(jnp.float32), ST, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    Bv = expand(bs_ref[...])
+    Cv = expand(cs_ref[...])
 
     d = jax.nn.softplus(dt + bias)
     a = jnp.exp(d * A)
@@ -545,91 +426,101 @@ def _fused_quad_ln_kernel(H, W, C, true_c, dirn, u_ref, dt_ref, b_ref,
     else:
         h = _colmajor(a, b, H, W, C, backward=(dirn == 4))
     y = Cv * h + Dv * u
-    out_ref[...] = _ln_gate(y, z, ln_s, ln_b, H, W, C,
-                            float(true_c)).astype(out_ref.dtype)
+
+    # group-LN over each pixel's C lanes (segmented matmul reductions)
+    S, _ = _seg_mats(W, C)
+    dot = lambda x, m: jax.lax.dot_general(
+        x, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    inv = 1.0 / float(true_c)
+    m = dot(y, S) * inv
+    v = dot(y * y, S) * inv - m * m
+    mb = dot(m, ST)
+    ivb = dot(jax.lax.rsqrt(v + 1e-5), ST)
+    out_ref[...] = ((y - mb) * ivb * ln_s + ln_b).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "directions",
                                              "interpret"))
-def _sscan_quad_ln_kernel(u, dt, Bb, Cb, z, consts, H, W, directions,
+def _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W, directions,
                           interpret=False):
-    """Like _sscan_quad_kernel plus in-kernel LN+gate; emits u.dtype."""
+    """Scan + group-LN fused; Bs/Cs are per-pixel scalars (B, K, L)."""
     B, K, L, C0 = u.shape
     C = _pad_c(C0)
     if C != C0:
         pad4 = ((0, 0), (0, 0), (0, 0), (0, C - C0))
         u = jnp.pad(u, pad4)
         dt = jnp.pad(dt, pad4)
-        Bb = jnp.pad(Bb, pad4)
-        Cb = jnp.pad(Cb, pad4)
-        z = jnp.pad(z, pad4)
         consts = jnp.pad(consts, ((0, 0), (0, 0), (0, C - C0)),
                          constant_values=-1.0)
     consts = jnp.pad(jnp.swapaxes(consts, 0, 1), ((0, 0), (0, 3), (0, 0)))
-    view = lambda x: x.reshape(B, K, H, W * C)
-    uv, dtv, bv, cv, zv = (view(x) for x in (u, dt, Bb, Cb, z))
+    uv = u.reshape(B, K, H, W * C)
+    dtv = dt.reshape(B, K, H, W * C)
+    bsv = Bs.reshape(B, K, H, W).astype(jnp.float32)
+    csv = Cs.reshape(B, K, H, W).astype(jnp.float32)
 
     outs = []
     for g, dirn in enumerate(directions):
         spec = pl.BlockSpec((None, None, H, W * C),
                             lambda i, g=g: (i, g, 0, 0),
                             memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec((None, None, H, W), lambda i, g=g: (i, g, 0, 0),
+                             memory_space=pltpu.VMEM)
         y = pl.pallas_call(
             functools.partial(_fused_quad_ln_kernel, H, W, C, C0,
                               int(dirn)),
             grid=(B,),
-            in_specs=[spec] * 5 + [
-                pl.BlockSpec((None, 8, C), lambda i, g=g: (g, 0, 0),
-                             memory_space=pltpu.VMEM)],
+            in_specs=[spec, spec, sspec, sspec,
+                      pl.BlockSpec((None, 8, C), lambda i, g=g: (g, 0, 0),
+                                   memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((None, H, W * C), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, H, W * C), u.dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(uv, dtv, bv, cv, zv, consts)
+        )(uv, dtv, bsv, csv, consts)
         outs.append(y.reshape(B, L, C)[..., :C0])
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def sscan_quad_ln(u, dt, Bb, Cb, z, A, bias, Dv, ln, H, W, directions):
-    """Fused scan + group-LN + gate. ln = (scale, offset) each (K, C).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def sscan_quad_ln(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, directions):
+    """Fused scan + group-LN. ln = (scale, offset) each (K, C);
+    Bs, Cs: (B, K, H*W) per-pixel input/output scalars (d_state = 1).
 
-    Returns the gated normalized activation, group-planar (B, K*L? no:
-    (B, K, H*W, C)) in u.dtype, pixel-ordered.
+    Returns the normalized (ungated) activation, group-planar
+    (B, K, H*W, C) in u.dtype, pixel-ordered.
     """
-    return _sscan_quad_ln_fwd(u, dt, Bb, Cb, z, A, bias, Dv, ln,
+    return _sscan_quad_ln_fwd(u, dt, Bs, Cs, A, bias, Dv, ln,
                               H, W, directions)[0]
 
 
-def _sscan_quad_ln_fwd(u, dt, Bb, Cb, z, A, bias, Dv, ln, H, W, directions):
+def _sscan_quad_ln_fwd(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, directions):
     interpret = jax.default_backend() != "tpu"
     ln_s, ln_b = ln
     consts = jnp.stack([A.astype(jnp.float32), bias.astype(jnp.float32),
                         Dv.astype(jnp.float32), ln_s.astype(jnp.float32),
                         ln_b.astype(jnp.float32)])
-    outs = _sscan_quad_ln_kernel(u, dt, Bb, Cb, z, consts, H, W,
+    outs = _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W,
                                  tuple(directions), interpret=interpret)
     out = jnp.stack(outs, axis=1)
-    return out, (u, dt, Bb, Cb, z, A, bias, Dv, ln_s, ln_b)
+    return out, (u, dt, Bs, Cs, A, bias, Dv, ln_s, ln_b)
 
 
 def _sscan_quad_ln_bwd(H, W, directions, res, go):
     """Recompute-based backward: h via the scan kernel, LN backward in
     XLA, then the scan adjoint via the reversed-direction kernel."""
-    u0, dt0, Bb0, Cb0, z0, A, bias, Dv, ln_s, ln_b = res
+    u0, dt0, Bs0, Cs0, A, bias, Dv, ln_s, ln_b = res
     interpret = jax.default_backend() != "tpu"
     eps = 1e-5
 
-    per = {k: [] for k in ("du", "ddt", "dBb", "dCb", "dz",
+    per = {k: [] for k in ("du", "ddt", "dBs", "dCs",
                            "dA", "dbias", "dD", "ds", "dt2")}
     for k, dirn in enumerate(directions):
         u = u0[:, k].astype(jnp.float32)
         dt = dt0[:, k].astype(jnp.float32)
-        Bf = Bb0[:, k].astype(jnp.float32)
-        Cf = Cb0[:, k].astype(jnp.float32)
-        zf = z0[:, k].astype(jnp.float32)
+        Bf = Bs0[:, k].astype(jnp.float32)[..., None]   # (B, L, 1)
+        Cf = Cs0[:, k].astype(jnp.float32)[..., None]
         g = go[:, k].astype(jnp.float32)
 
         pre = dt + bias[k]
@@ -644,18 +535,15 @@ def _sscan_quad_ln_bwd(H, W, directions, res, go):
         ir = jax.lax.rsqrt(var + eps)
         yn = (y - mu) * ir
 
-        # gate + affine backward
-        per["dz"].append((yn * ln_s[k] + ln_b[k]) * g)
-        q = g * zf
-        per["ds"].append(jnp.sum(q * yn, axis=(0, 1)))
-        per["dt2"].append(jnp.sum(q, axis=(0, 1)))
-        dyn = q * ln_s[k]
-        C_ = y.shape[-1]
+        # affine backward
+        per["ds"].append(jnp.sum(g * yn, axis=(0, 1)))
+        per["dt2"].append(jnp.sum(g, axis=(0, 1)))
+        dyn = g * ln_s[k]
         dy = ir * (dyn - jnp.mean(dyn, axis=-1, keepdims=True)
                    - yn * jnp.mean(dyn * yn, axis=-1, keepdims=True))
 
         # y = C*h + D*u
-        per["dCb"].append(h * dy)
+        per["dCs"].append(jnp.sum(h * dy, axis=-1))
         per["dD"].append(jnp.sum(u * dy, axis=(0, 1)))
         gh = Cf * dy
         da, db = _scan2d_bwd(H, W, dirn, (a, h), gh)
@@ -663,7 +551,7 @@ def _sscan_quad_ln_bwd(H, W, directions, res, go):
         dd = db * u * Bf + (da * a) * A[k]
         ddt = dd * jax.nn.sigmoid(pre)
         per["du"].append(db * d * Bf + Dv[k] * dy)
-        per["dBb"].append(db * d * u)
+        per["dBs"].append(jnp.sum(db * d * u, axis=-1))
         per["dA"].append(jnp.sum(da * a * d, axis=(0, 1)))
         per["dbias"].append(jnp.sum(ddt, axis=(0, 1)))
         per["ddt"].append(ddt)
@@ -672,10 +560,12 @@ def _sscan_quad_ln_bwd(H, W, directions, res, go):
     stk0 = lambda xs: jnp.stack(xs, axis=0)
     cast = lambda x, r: x.astype(r.dtype)
     return (cast(stk1(per["du"]), u0), cast(stk1(per["ddt"]), dt0),
-            cast(stk1(per["dBb"]), Bb0), cast(stk1(per["dCb"]), Cb0),
-            cast(stk1(per["dz"]), z0),
+            cast(stk1(per["dBs"]), Bs0), cast(stk1(per["dCs"]), Cs0),
             stk0(per["dA"]), stk0(per["dbias"]), stk0(per["dD"]),
             (stk0(per["ds"]), stk0(per["dt2"])))
 
 
 sscan_quad_ln.defvjp(_sscan_quad_ln_fwd, _sscan_quad_ln_bwd)
+
+
+

@@ -109,117 +109,6 @@ def scan_pallas(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Sublane-layout fused selective scan (d_state = 1): channels on lanes,
-# sequence on sublanes — the NHWC-native layout, so the cross-scan needs NO
-# (B, C, L) transpose (profiled at ~6.5 ms each in the row-layout path; the
-# minor-dim-16 transpose is pathological on TPU).
-# ---------------------------------------------------------------------------
-
-SUB_L_BLOCK = 4096  # sequence sublanes per grid step (full L when it fits)
-
-
-def _sublane_kernel(u_ref, dt_ref, b_ref, c_ref, const_ref, out_ref):
-    """One (1, L, C) batch item: fused N=1 selective scan along the SUBLANE
-    (sequence) axis; every lane is an independent channel.
-
-    Direction reversal is fused: lanes with fwd_mask=0 are scanned
-    BACKWARD (a doubling scan with up-shifts), so callers never flip data
-    in HBM — profiled flips cost ~2.2 ms/block in XLA.
-
-    const_ref: (4, C) rows = [A (negative), delta_bias, D, fwd_mask].
-    """
-    u = u_ref[0].astype(jnp.float32)
-    dt = dt_ref[0].astype(jnp.float32)
-    Bv = b_ref[0].astype(jnp.float32)
-    Cv = c_ref[0].astype(jnp.float32)
-    A = const_ref[0:1, :]
-    bias = const_ref[1:2, :]
-    Dv = const_ref[2:3, :]
-    fwd = const_ref[3:4, :]
-
-    S, C = dt.shape
-
-    def scan(backward: bool):
-        # recompute everything per pass to keep the VMEM live set small
-        d = jax.nn.softplus(dt + bias)
-        a = jnp.exp(d * A)
-        b = d * u * Bv
-        del d
-        k = 1
-        while k < S:  # static unroll: log2(S) doubling steps along sublanes
-            ones = jnp.ones((k, C), jnp.float32)
-            zeros = jnp.zeros((k, C), jnp.float32)
-            if backward:
-                a_sh = jnp.concatenate([a[k:], ones], axis=0)
-                b_sh = jnp.concatenate([b[k:], zeros], axis=0)
-            else:
-                a_sh = jnp.concatenate([ones, a[:-k]], axis=0)
-                b_sh = jnp.concatenate([zeros, b[:-k]], axis=0)
-            b = b + a * b_sh
-            a = a * a_sh
-            k *= 2
-        return b
-
-    h = fwd * scan(False)
-    h = h + (1.0 - fwd) * scan(True)
-    out_ref[0] = (Cv * h + Dv * u).astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
-def selective_scan_sublane(u, delta, B_lane, C_lane, A_lane, bias_lane,
-                           D_lane, fwd_mask=None, out_dtype=jnp.float32,
-                           interpret=None):
-    """Fused d_state=1 selective scan in (B, L, C) layout (scan over L).
-
-    u, delta, B_lane, C_lane: (B, L, C); A_lane/bias_lane/D_lane: (C,) fp32;
-    fwd_mask: (C,) 1.0 = scan forward, 0.0 = scan backward (default all
-    forward). Each lane scans its own sequence; backward lanes are scanned
-    in-kernel (no HBM flips). L must fit a single block (<= SUB_L_BLOCK
-    after 128-padding) because backward lanes span the whole sequence.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    Bn, L, C = u.shape
-    Lp = -(-L // 128) * 128
-    if Lp > SUB_L_BLOCK:
-        raise ValueError(f"L={L} exceeds single-block sublane scan limit")
-    if fwd_mask is None:
-        fwd_mask = jnp.ones((C,), jnp.float32)
-
-    def pad(x):
-        return jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
-
-    consts = jnp.stack([A_lane.astype(jnp.float32),
-                        bias_lane.astype(jnp.float32),
-                        D_lane.astype(jnp.float32),
-                        fwd_mask.astype(jnp.float32)])
-
-    out = pl.pallas_call(
-        _sublane_kernel,
-        grid=(Bn,),
-        in_specs=[
-            pl.BlockSpec((1, Lp, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, Lp, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bn, Lp, C), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(pad(u), pad(delta), pad(B_lane), pad(C_lane), consts)
-    return out[:, :L]
-
-
-# ---------------------------------------------------------------------------
 # Fused selective scan, d_state = 1 fast path
 # ---------------------------------------------------------------------------
 
