@@ -13,10 +13,10 @@ its documented semantics:
 
 Geometric ops use scipy.ndimage.affine_transform with imgaug's conventions
 (center-origin, order-1 image / order-0 mask, constant fill 0).
-PiecewiseAffine is approximated by a smoothed random displacement field of
-the same magnitude (imgaug uses a Delaunay mesh warp; the training-level
-effect — local elastic jitter — is equivalent; documented in
-docs/PARITY.md). Label maps ride through geometry as one-hot stacks then
+PiecewiseAffine reimplements imgaug's Delaunay mesh warp exactly (regular
+4x4 control grid incl. borders, N(0, scale*size) jitter, per-triangle
+affine over the source triangulation — the skimage
+PiecewiseAffineTransform algorithm imgaug delegates to). Label maps ride through geometry as one-hot stacks then
 argmax back, mirroring augment_seg (dataset_synapse.py:32-41).
 """
 from __future__ import annotations
@@ -122,21 +122,69 @@ def _op_translate(rng, img, lab):
                             rng.uniform(-0.2, 0.2) * h))
 
 
+def piecewise_affine_warp(img, lab, points_src, points_dst):
+    """Warp via per-triangle affine maps over Delaunay(points_src) — the
+    skimage PiecewiseAffineTransform algorithm (triangulate the source
+    grid; each output pixel inside source-triangle T maps through T's
+    affine src->dst into input coordinates; sample order-1 image /
+    order-0 label, constant cval 0).
+    """
+    from scipy.spatial import Delaunay
+    h, w = img.shape
+    tri = Delaunay(points_src)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pix = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.float64)
+    # tol: hull-edge pixels (x=0 / y=0 rows lie exactly on boundary
+    # triangles) must not fall to the cval region through fp round-off
+    simplex = tri.find_simplex(pix, tol=1e-8)
+
+    coords = np.zeros((h * w, 2))
+    outside = simplex < 0
+    for s in range(tri.nsimplex):
+        m = simplex == s
+        if not m.any():
+            continue
+        v = tri.simplices[s]
+        src = points_src[v]                      # (3, 2) rows (y, x)
+        dst = points_dst[v]
+        # affine A, b with dst = A @ src + b (solved from 3 vertex pairs)
+        M = np.concatenate([src, np.ones((3, 1))], axis=1)  # (3, 3)
+        AB = np.linalg.solve(M, dst)             # (3, 2)
+        coords[m] = pix[m] @ AB[:2] + AB[2]
+    coords[outside] = -1.0                       # cval region
+
+    def snap(c, hi):
+        """fp round-off in the affine solve lands boundary pixels at
+        -1e-16 / hi+1e-16; scipy's constant mode would zero them."""
+        c = np.where((c < 0) & (c > -1e-6), 0.0, c)
+        return np.where((c > hi) & (c < hi + 1e-6), hi, c)
+
+    cy = snap(coords[:, 0], h - 1).reshape(h, w)
+    cx = snap(coords[:, 1], w - 1).reshape(h, w)
+    wi = ndimage.map_coordinates(img, [cy, cx], order=1, mode="constant")
+    wl = ndimage.map_coordinates(lab, [cy, cx], order=0, mode="constant")
+    return wi.astype(np.float32), wl
+
+
 def _op_piecewise(rng, img, lab):
-    """Elastic jitter ~ PiecewiseAffine(scale (0.008, 0.03)): smooth random
-    displacement field with the same per-point magnitude."""
+    """imgaug PiecewiseAffine(scale=(0.008, 0.03)) semantics (reference
+    dataset_synapse.py:70): a 4x4 regular grid of control points spanning
+    [0, h] x [0, w] (np.linspace, borders included), each jittered by
+    N(0, scale * (h, w)); warp = piecewise affine over the Delaunay
+    triangulation of the grid, order-1 image / order-0 mask, cval 0 —
+    imgaug delegates to skimage.PiecewiseAffineTransform, reimplemented
+    exactly in :func:`piecewise_affine_warp` (scipy.spatial.Delaunay is
+    the same Qhull triangulation skimage uses)."""
     h, w = img.shape
     scale = rng.uniform(0.008, 0.03)
     grid = 4
-    dx = rng.normal(0, scale * w, (grid, grid))
-    dy = rng.normal(0, scale * h, (grid, grid))
-    dx = ndimage.zoom(dx, (h / grid, w / grid), order=3)[:h, :w]
-    dy = ndimage.zoom(dy, (h / grid, w / grid), order=3)[:h, :w]
-    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    coords = np.stack([yy + dy, xx + dx])
-    return (ndimage.map_coordinates(img, coords, order=1, mode="constant"
-                                    ).astype(np.float32),
-            ndimage.map_coordinates(lab, coords, order=0, mode="constant"))
+    yyg = np.linspace(0, h, grid)
+    xxg = np.linspace(0, w, grid)
+    xg, yg = np.meshgrid(xxg, yyg)
+    src = np.stack([yg.ravel(), xg.ravel()], axis=1)
+    jitter = rng.normal(0, scale, (grid * grid, 2))
+    dst = src + jitter * np.array([h, w])
+    return piecewise_affine_warp(img, lab, src, dst)
 
 
 AUG_OPS: List[_Op] = [

@@ -71,3 +71,48 @@ def test_label_pyramid():
     assert pyr[0].shape == (8, 8)
     assert pyr[1].shape == (4, 4)
     assert set(np.unique(pyr[1])).issubset({0, 1, 2, 3})
+
+
+# ---------------- PiecewiseAffine (Delaunay mesh warp) ----------------
+
+def test_piecewise_identity():
+    from ceigm_unet_tpu.data.augment import piecewise_affine_warp
+    rng = np.random.default_rng(0)
+    img = rng.random((24, 20)).astype(np.float32)
+    lab = (rng.random((24, 20)) * 4).astype(np.float32) // 1
+    h, w = img.shape
+    yg, xg = np.meshgrid(np.linspace(0, h, 4), np.linspace(0, w, 4),
+                         indexing="ij")
+    src = np.stack([yg.ravel(), xg.ravel()], axis=1)
+    wi, wl = piecewise_affine_warp(img, lab, src, src.copy())
+    np.testing.assert_allclose(wi, img, atol=1e-5)
+    np.testing.assert_array_equal(wl, lab)
+
+
+def test_piecewise_pure_translation():
+    from ceigm_unet_tpu.data.augment import piecewise_affine_warp
+    rng = np.random.default_rng(1)
+    img = rng.random((16, 16)).astype(np.float32)
+    lab = np.zeros_like(img)
+    h, w = img.shape
+    yg, xg = np.meshgrid(np.linspace(0, h, 4), np.linspace(0, w, 4),
+                         indexing="ij")
+    src = np.stack([yg.ravel(), xg.ravel()], axis=1)
+    t = np.array([3.0, 2.0])
+    # estimate(src -> src + t), applied as the output->input map:
+    # out[p] = in[p + t]
+    wi, _ = piecewise_affine_warp(img, lab, src, src + t)
+    want = np.zeros_like(img)
+    want[:h - 3, :w - 2] = img[3:, 2:]
+    np.testing.assert_allclose(wi[:h - 4, :w - 3], want[:h - 4, :w - 3],
+                               atol=1e-5)
+
+
+def test_piecewise_op_label_discrete():
+    from ceigm_unet_tpu.data.augment import _op_piecewise
+    rng = np.random.default_rng(2)
+    img = rng.random((32, 32)).astype(np.float32)
+    lab = (rng.integers(0, 5, (32, 32))).astype(np.float32)
+    wi, wl = _op_piecewise(rng, img, lab)
+    assert wi.shape == img.shape
+    assert set(np.unique(wl)).issubset(set(np.unique(lab)) | {0.0})
