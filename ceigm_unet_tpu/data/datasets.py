@@ -63,13 +63,20 @@ class SynapseDataset:
         return len(self.samples)
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self.get(idx)
+
+    def get(self, idx: int, rng=None) -> Dict[str, Any]:
+        """Like __getitem__, with an explicit augmentation rng — used by
+        the loader to derive per-(seed, epoch, index) streams that are
+        reproducible under any worker scheduling (threads or processes)."""
+        rng = self.rng if rng is None else rng
         name = self.samples[idx]
         if self.split == "train":
             data = np.load(os.path.join(self.base_dir, name + ".npz"))
             image = np.asarray(data["image"], np.float32)
             label = np.asarray(data["label"], np.float32)
             if self.augment:
-                image, label = augment_seg(self.rng, image, label)
+                image, label = augment_seg(rng, image, label)
             image, label = _zoom_pair(image, label, self.img_size)
         else:
             import h5py
@@ -101,12 +108,16 @@ class ACDCDataset:
         return len(self.samples)
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self.get(idx)
+
+    def get(self, idx: int, rng=None) -> Dict[str, Any]:
+        rng = self.rng if rng is None else rng
         name = self.samples[idx]
         data = np.load(os.path.join(self.base_dir, self.split, name))
         image = np.asarray(data["img"], np.float32)
         label = np.asarray(data["label"], np.float32)
         if self.split == "train" and self.augment:
-            image, label = augment_seg(self.rng, image, label)
+            image, label = augment_seg(rng, image, label)
         if self.split in ("train", "valid"):
             image, label = _zoom_pair(image, label, self.img_size)
         out = {"image": image, "label": label, "case_name": name}

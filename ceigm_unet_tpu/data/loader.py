@@ -1,12 +1,23 @@
-"""Multiprocess batch loader (replacement for torch DataLoader workers).
+"""Batch loader (replacement for torch DataLoader workers).
 
 The reference uses torch DataLoader with 6 worker processes for CPU-side
-imgaug (SURVEY.md §3.1 process boundaries). Here a process pool maps
-__getitem__ across workers while the main process assembles batches; output
-batches are numpy dicts {"image": (B, H, W, 1) float32, "label": (B, H, W)
-int32} ready for device_put. Augmentation randomness is derived per (epoch,
-index) so runs are reproducible regardless of worker scheduling — a
-determinism improvement over the reference's per-worker RNG state.
+imgaug (SURVEY.md §3.1 process boundaries). Here worker processes map
+sample loading + augmentation across cores (falling back to a thread pool
+on single-core hosts or when the dataset cannot be shipped to workers —
+e.g. open h5 handles); the main process assembles batches as numpy dicts
+{"image": (B, H, W, 1) float32, "label": (B, H, W) int32} ready for
+device_put.
+
+Augmentation randomness is derived per (seed, epoch, index) via
+SeedSequence inside the worker task, so runs are bit-reproducible under
+ANY worker scheduling — threads, processes, or in-line (a determinism
+improvement over the reference's per-worker RNG state).
+
+Measured (tools/bench_loader.py, 512^2 Synapse-shaped slices): decode +
+full aug policy + order-3 zoom = ~117 ms/sample/core; saturating the r1
+fp32 b48 train step (588 ms) needs ~10 cores. On few-core hosts route
+training through the on-device augmentation tier (data/device_aug.py)
+instead.
 """
 from __future__ import annotations
 
@@ -15,6 +26,19 @@ import os
 from typing import Any, Dict, Iterator, Optional
 
 import numpy as np
+
+_WORKER_DS = None
+
+
+def _worker_init(ds):
+    global _WORKER_DS
+    _WORKER_DS = ds
+
+
+def _worker_get(task):
+    idx, seed, epoch = task
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch, idx]))
+    return _WORKER_DS.get(idx, rng)
 
 
 def _collate(samples) -> Dict[str, np.ndarray]:
@@ -35,36 +59,60 @@ class DataLoader:
         self.drop_last = drop_last
         self.normalize = normalize
         self.num_workers = num_workers
-        self._pool = (cf.ThreadPoolExecutor(num_workers)
-                      if num_workers > 0 else None)
         self.epoch = 0
+        self._pool = None
+        self.mode = "inline"
+        if num_workers > 0:
+            if (os.cpu_count() or 1) > 1:
+                try:
+                    self._pool = cf.ProcessPoolExecutor(
+                        num_workers, initializer=_worker_init,
+                        initargs=(dataset,))
+                    self.mode = "process"
+                except Exception:
+                    self._pool = None
+            if self._pool is None:
+                self._pool = cf.ThreadPoolExecutor(num_workers)
+                self.mode = "thread"
 
     def __len__(self):
         n = len(self.ds)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return (n // self.batch_size if self.drop_last
+                else -(-n // self.batch_size))
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def _get_inline(self, task):
+        idx, seed, epoch = task
+        rng = np.random.default_rng(
+            np.random.SeedSequence([seed, epoch, idx]))
+        return self.ds.get(idx, rng)
+
+    def _fetch(self, tasks):
+        if self.mode == "process":
+            try:
+                return list(self._pool.map(_worker_get, tasks))
+            except Exception:
+                # dataset not shippable to workers (pickling) — demote
+                self._pool.shutdown(wait=False, cancel_futures=True)
+                self._pool = cf.ThreadPoolExecutor(self.num_workers)
+                self.mode = "thread"
+        if self.mode == "thread":
+            return list(self._pool.map(self._get_inline, tasks))
+        return [self._get_inline(t) for t in tasks]
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
-        # per-epoch augmentation rng
-        if hasattr(self.ds, "rng"):
-            self.ds.rng = np.random.default_rng(
-                (self.seed + 1) * 100003 + self.epoch)
-
         limit = (n // self.batch_size * self.batch_size
                  if self.drop_last else n)
         for start in range(0, limit, self.batch_size):
             idxs = order[start:start + self.batch_size]
-            if self._pool is not None:
-                samples = list(self._pool.map(self.ds.__getitem__, idxs))
-            else:
-                samples = [self.ds[i] for i in idxs]
-            batch = _collate(samples)
+            tasks = [(int(i), self.seed, self.epoch) for i in idxs]
+            batch = _collate(self._fetch(tasks))
             if self.normalize:
                 batch["image"] = (batch["image"] - 0.5) / 0.5
             yield batch
