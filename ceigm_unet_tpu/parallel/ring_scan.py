@@ -25,23 +25,36 @@ from ceigm_unet_tpu.ops.selective_scan import _combine, _scan_assoc
 
 
 def sequence_parallel_scan(a: jnp.ndarray, b: jnp.ndarray,
-                           axis_name: str) -> jnp.ndarray:
+                           axis_name: str,
+                           reverse: bool = False) -> jnp.ndarray:
     """Exact distributed scan over the last axis sharded on ``axis_name``.
 
     a, b: local shards (..., L_local). Returns the local shard of the
-    global inclusive scan h.
+    global inclusive scan h. ``reverse=True`` scans the global sequence
+    back-to-front (local flip + predecessor set {shards > idx}) — no data
+    movement beyond the same summary exchange.
     """
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
+
+    if reverse:
+        a = jnp.flip(a, -1)
+        b = jnp.flip(b, -1)
+        idx = n - 1 - idx
 
     # local scan and local summary
     ah, hh = jax.lax.associative_scan(_combine, (a, b), axis=-1)
     a_tot = ah[..., -1]
     h_tot = hh[..., -1]
 
-    # gather every shard's summary: (n, ...) leading axis
+    # gather every shard's summary: (n, ...) leading axis (device order);
+    # for reverse, flip to scan order so the prefix composition below
+    # walks predecessors in the order the scan visits them
     a_all = jax.lax.all_gather(a_tot, axis_name)
     h_all = jax.lax.all_gather(h_tot, axis_name)
+    if reverse:
+        a_all = jnp.flip(a_all, 0)
+        h_all = jnp.flip(h_all, 0)
 
     # exclusive prefix over shards: combine summaries of shards < idx
     def step(carry, xs):
@@ -58,7 +71,8 @@ def sequence_parallel_scan(a: jnp.ndarray, b: jnp.ndarray,
 
     # fold the predecessor state into the local scan:
     # h_t = h_t_local + (prod_{s<=t} a_s_local) * h_prefix
-    return hh + ah * h_pre[..., None]
+    h = hh + ah * h_pre[..., None]
+    return jnp.flip(h, -1) if reverse else h
 
 
 def selective_scan_sp_check(mesh) -> None:
@@ -95,14 +109,17 @@ def selective_scan_sp_check(mesh) -> None:
 
 
 def selective_scan_sp(u, delta, A, B, C, D=None, delta_bias=None,
-                      delta_softplus: bool = False, axis_name: str = "sp"):
+                      delta_softplus: bool = False, axis_name: str = "sp",
+                      reverse: bool = False):
     """Sequence-parallel selective scan: same API as
     :func:`ceigm_unet_tpu.ops.selective_scan.selective_scan`, with u/delta/
-    B/C sharded along L over ``axis_name`` (call under shard_map)."""
+    B/C sharded along L over ``axis_name`` (call under shard_map).
+    ``reverse=True`` scans the global sequence back-to-front (for the
+    flipped cross-scan directions) without any data movement."""
     from ceigm_unet_tpu.ops.selective_scan import (
         _prep, _scan_coeffs, _emit_y)
     uf, dt, Af, Bf, Cf, Df, shapes = _prep(
         u, delta, A, B, C, D, delta_bias, delta_softplus)
     a, b = _scan_coeffs(uf, dt, Af, Bf, shapes)
-    h = sequence_parallel_scan(a, b, axis_name)
+    h = sequence_parallel_scan(a, b, axis_name, reverse=reverse)
     return _emit_y(h, Cf, uf, Df, shapes, u.dtype)
