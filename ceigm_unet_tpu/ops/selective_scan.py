@@ -294,15 +294,15 @@ def selective_scan(
     backend = _resolve_backend(backend)
     if out_dtype is None:
         out_dtype = u.dtype
-    y = _selective_scan_core(u, delta, A, B, C, D, delta_bias,
-                             delta_softplus, backend, out_dtype)
     if return_last_state:
-        # Last state is off the training hot path (used by tests / serving
-        # preemption); recompute via the unfused impl which materializes h.
-        _, h = _fwd_impl(u, delta, A, B, C, D, delta_bias,
+        # ONE unfused pass materializing h (off the training hot path —
+        # tests / serving preemption; grads flow through associative_scan
+        # autodiff rather than the custom VJP here)
+        y, h = _fwd_impl(u, delta, A, B, C, D, delta_bias,
                          delta_softplus,
                          "assoc" if backend == "pallas" else backend,
                          out_dtype)
         batch, dim, L = u.shape
         return y, h[..., -1].reshape(batch, dim, -1)
-    return y
+    return _selective_scan_core(u, delta, A, B, C, D, delta_bias,
+                                delta_softplus, backend, out_dtype)
