@@ -15,6 +15,8 @@ bandwidth-bound and fuses with the surrounding elementwise work.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -113,21 +115,44 @@ def grid_sample_bilinear_fused(x: jnp.ndarray, grid: jnp.ndarray,
     (~1.4 GB of traffic for the finest DySample stage). Here the hat-weight
     tile is built in VMEM ((H*W, P_TILE), output pixels on lanes) and
     contracted against the VMEM-resident image in one MXU matmul; HBM sees
-    only the inputs once and the output once. Exact same math.
+    only the inputs once and the output once. Exact same math; the custom
+    VJP differentiates the mm formulation (bf16 training path).
     """
-    import functools
+    B, H, W, C = x.shape
+    # fused path only for the bf16 perf regime (MXU fp32 matmuls truncate
+    # to bf16 passes; fp32 callers keep the full-precision mm path)
+    if (jax.default_backend() != "tpu" or x.dtype != jnp.bfloat16
+            or H * W * C * x.dtype.itemsize > 2**22):
+        return grid_sample_bilinear_mm(x, grid)
+    return _gs_fused(x, grid, p_tile)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gs_fused(x, grid, p_tile):
+    return _gs_fused_fwd(x, grid, p_tile)[0]
+
+
+def _gs_fused_fwd(x, grid, p_tile):
+    return _gs_fused_impl(x, grid, p_tile), (x, grid)
+
+
+def _gs_fused_bwd(p_tile, res, ct):
+    x, grid = res
+    _, vjp = jax.vjp(grid_sample_bilinear_mm, x, grid)
+    return vjp(ct)
+
+
+_gs_fused.defvjp(_gs_fused_fwd, _gs_fused_bwd)
+
+
+def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
+                   p_tile: int = 512) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, W, C = x.shape
     Ho, Wo = grid.shape[1], grid.shape[2]
     P = Ho * Wo
-    # fused path only for the bf16 perf regime (MXU fp32 matmuls truncate
-    # to bf16 passes; fp32 callers keep the full-precision mm path)
-    if (jax.default_backend() != "tpu" or x.dtype != jnp.bfloat16
-            or H * W * C * x.dtype.itemsize > 2**22):
-        return grid_sample_bilinear_mm(x, grid)
-
     gx = (grid[..., 0].astype(jnp.float32) + 1.0) * W / 2.0 - 0.5
     gy = (grid[..., 1].astype(jnp.float32) + 1.0) * H / 2.0 - 0.5
     gx = jnp.clip(gx, 0.0, W - 1.0).reshape(B, P)
