@@ -157,6 +157,11 @@ def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
     gy = (grid[..., 1].astype(jnp.float32) + 1.0) * H / 2.0 - 0.5
     gx = jnp.clip(gx, 0.0, W - 1.0).reshape(B, P)
     gy = jnp.clip(gy, 0.0, H - 1.0).reshape(B, P)
+    # whole-P tiles when the w2 scratch fits VMEM: the lane dim may equal
+    # the (unpadded) array dim, so no pad and no output slice (the
+    # P -> Pp slice alone traced at 0.6 ms on the finest stage)
+    if H * W * P * 4 <= 12 * 2**20:
+        p_tile = P
     Pp = -(-P // p_tile) * p_tile
     gx = jnp.pad(gx, ((0, 0), (0, Pp - P)))
     gy = jnp.pad(gy, ((0, 0), (0, Pp - P)))
@@ -168,32 +173,40 @@ def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[:, None, :] - ix[:, None]))
     xf = x.reshape(B, H * W, C)
 
+    # batch G images per grid step: a near-empty kernel at grid (B, P/PT)
+    # measured ~1.5 us/step fixed cost (~2.7 ms at the finest stage) —
+    # fewer, fatter steps amortize it
+    G = 4 if B % 4 == 0 else 1
+
     def kernel(wy_ref, wx_ref, im_ref, out_ref):
-        wyt = wy_ref[0]                      # (H, PT)
-        wxt = wx_ref[0]                      # (W, PT)
-        im = im_ref[0].astype(jnp.float32)   # (H*W, C)
-        # (an iota-selector-matmul build of w2 was A/B-tested ~25% slower
-        # than this broadcast build — tools/exp_gs_ab.py)
-        w2 = (wyt[:, None, :] * wxt[None, :, :]).reshape(H * W, -1)
-        o = jax.lax.dot_general(w2, im, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        out_ref[0] = o.astype(out_ref.dtype)  # (PT, C)
+        for g in range(G):
+            wyt = wy_ref[g]                      # (H, PT)
+            wxt = wx_ref[g]                      # (W, PT)
+            im = im_ref[g].astype(jnp.float32)   # (H*W, C)
+            # (an iota-selector-matmul build of w2 was A/B-tested ~25%
+            # slower than this broadcast build — tools/exp_gs_ab.py;
+            # a bf16 build trips a Mosaic reshape bug)
+            w2 = (wyt[:, None, :] * wxt[None, :, :]).reshape(H * W, -1)
+            o = jax.lax.dot_general(w2, im, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out_ref[g] = o.astype(out_ref.dtype)  # (PT, C)
 
     out = pl.pallas_call(
         kernel,
-        grid=(B, Pp // p_tile),
+        grid=(B // G, Pp // p_tile),
         in_specs=[
-            pl.BlockSpec((1, H, p_tile), lambda i, j: (i, 0, j),
+            pl.BlockSpec((G, H, p_tile), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, p_tile), lambda i, j: (i, 0, j),
+            pl.BlockSpec((G, W, p_tile), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H * W, C), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((G, H * W, C), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, p_tile, C), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((G, p_tile, C), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Pp, C), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(wy.astype(jnp.float32), wx.astype(jnp.float32), xf)
-    return out[:, :P].reshape(B, Ho, Wo, C)
+    out = out if Pp == P else out[:, :P]
+    return out.reshape(B, Ho, Wo, C)
