@@ -10,10 +10,13 @@ Two flavors cover the reference's live configurations:
 - :class:`QuadGroupSS2D`: the GroupMamba "modulated group mamba" inner op —
   channels split into 4 groups, group k scanned in direction k
   (reference: 4 separate SS2D modules + CrossScan_1..4,
-  gm-unet/model/gm/groupmamba.py:99-146). Here the 4 groups are *fused into
-  a single selective-scan call* using the scan op's group dimension, with
-  all projections batched over groups via einsum — one MXU-friendly op
-  instead of 4 kernel launches.
+  gm-unet/model/gm/groupmamba.py:99-146). On TPU each group runs through an
+  in-place directional Pallas kernel (ops/quad_scan.py) that evaluates the
+  whole d_state=1 selective-scan pipeline — softplus/decay/drive, two-level
+  doubling scan in the group's pixel order, C*h+D*u, group-LayerNorm — in
+  VMEM, and the K-grouped projections run as single block-diagonal dense
+  GEMMs. The reference's CrossScan/CrossMerge layout machinery has no
+  runtime counterpart at all (directions are baked into the kernels).
 
 Weight layouts deliberately match the torch parameter stacking
 (``x_proj_weight`` (K, R+2N, D), ``dt_projs_weight`` (K, D, R), ``A_logs``
