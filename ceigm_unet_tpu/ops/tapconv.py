@@ -47,22 +47,40 @@ def _hmask(L, W, dx):
     return ok.astype(jnp.float32)
 
 
-def _lgag_kernel(W, taps, g_ref, m_ref, c_ref, out_ref):
+def _lgag_kernel(W, r, g_ref, m_ref, c_ref, out_ref):
     """One batch item: g (L, C) -> psi (L, 8) (column-broadcast).
 
-    m_ref: (T, C, C2) per-tap channel-mix matrices (all six convs folded
-    per offset); c_ref: (8, C2) rows [bn_a, bn_b, psi_w, psi_scalars...].
+    m_ref: (2r+1, (2r+1)*C, C2) row-stacked channel-mix matrices (all six
+    convs folded; for row offset dy, lane-block i holds the (dy, dx_i) tap
+    weights); c_ref: (8, C2) rows [bn_a, bn_b, psi_w, psi_scalars...].
+
+    25 independent per-tap sublane shifts traced at ~1 ms at the finest
+    gate; here the k*k taps cost 2k-1 shifts: k small dx-shifts are
+    lane-concatenated once, then each dy row-shift feeds one fat matmul
+    against the stacked weights. Input-dtype compute, fp32 accumulation.
     """
-    g = g_ref[...].astype(jnp.float32)
+    g = g_ref[...]
     L, C = g.shape
+    nk = 2 * r + 1
+
+    # correlation orientation: out[p] += in[p + (dy,dx)] * K[c+dy,c+dx]
+    cols = [shift_px(g, -dx, _hmask(L, W, -dx).astype(g.dtype))
+            for dx in range(-r, r + 1)]
+    G = jnp.concatenate(cols, axis=1)            # (L, nk*C)
 
     acc = None
-    for t, (dy, dx) in enumerate(taps):
-        # correlation orientation: out[p] += in[p + (dy,dx)] * K[c+dy,c+dx]
-        mask = _hmask(L, W, -dx)
-        sh = shift_px(g, -(dy * W + dx), mask)
+    for j, dy in enumerate(range(-r, r + 1)):
+        s = -dy * W
+        if s == 0:
+            sh = G
+        elif s > 0:
+            sh = jnp.concatenate(
+                [jnp.zeros((s, nk * C), G.dtype), G[:-s]], axis=0)
+        else:
+            sh = jnp.concatenate(
+                [G[-s:], jnp.zeros((-s, nk * C), G.dtype)], axis=0)
         contrib = jax.lax.dot_general(
-            sh, m_ref[t].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            sh, m_ref[j].astype(g.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = contrib if acc is None else acc + contrib
 
@@ -73,23 +91,23 @@ def _lgag_kernel(W, taps, g_ref, m_ref, c_ref, out_ref):
     a2 = c_ref[3, 1]
     c2 = c_ref[3, 2]
 
-    r = jnp.maximum(acc * bn_a + bn_b, 0.0)
-    p = jnp.sum(r * psi_w, axis=1, keepdims=True)       # 1x1 conv to 1 ch
+    relu = jnp.maximum(acc * bn_a + bn_b, 0.0)
+    p = jnp.sum(relu * psi_w, axis=1, keepdims=True)    # 1x1 conv to 1 ch
     p = jax.nn.sigmoid(a2 * (p + psi_bias) + c2)
     out_ref[...] = jnp.broadcast_to(p, (L, 8)).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("W", "taps", "interpret"))
-def _lgag_call(g2, M, consts, W, taps, interpret=False):
+@functools.partial(jax.jit, static_argnames=("W", "r", "interpret"))
+def _lgag_call(g2, M, consts, W, r, interpret=False):
     B, L, C = g2.shape
-    T, _, C2 = M.shape
+    nk, nkC, C2 = M.shape
     out = pl.pallas_call(
-        functools.partial(_lgag_kernel, W, taps),
+        functools.partial(_lgag_kernel, W, r),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((None, L, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, C, C2), lambda i: (0, 0, 0),
+            pl.BlockSpec((nk, nkC, C2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, C2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -126,20 +144,19 @@ def lgag_psi_eval(g, convs, bn, psi_w, psi_b, psi_bn):
         K = K.at[o:5 - o, o:5 - o].add(kern.astype(jnp.float32))
     bias_total = sum(b.astype(jnp.float32) for _, b in convs)
 
-    # per-tap dense channel-mix matrices M[t, cin, cout]:
-    # group c covers input channels (2c, 2c+1)
-    taps = []
+    # per-tap dense channel-mix matrices (group c covers input channels
+    # (2c, 2c+1)), row-stacked per dy for the kernel's fat matmuls
     mats = []
     for dy in range(-2, 3):
         for dx in range(-2, 3):
-            taps.append((dy, dx))
             w = K[2 + dy, 2 + dx]                       # (2, C2)
             M = jnp.zeros((C, C2), jnp.float32)
             idx = np.arange(C2)
             M = M.at[2 * idx, idx].set(w[0])
             M = M.at[2 * idx + 1, idx].set(w[1])
             mats.append(M)
-    Mstk = jnp.stack(mats)                              # (25, C, C2)
+    Mstk = jnp.stack([jnp.concatenate(mats[j * 5:(j + 1) * 5], axis=0)
+                      for j in range(5)])               # (5, 5*C, C2)
 
     eps = 1e-5
     a1 = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
@@ -160,6 +177,6 @@ def lgag_psi_eval(g, convs, bn, psi_w, psi_b, psi_bn):
     consts = consts.at[3, 2].set(c2v)
 
     interpret = jax.default_backend() != "tpu"
-    psi = _lgag_call(g.reshape(B, L, C), Mstk, consts, Wd, tuple(taps),
+    psi = _lgag_call(g.reshape(B, L, C), Mstk, consts, Wd, 2,
                      interpret=interpret)
     return psi.reshape(B, H, Wd, 1)
