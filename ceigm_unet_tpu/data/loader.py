@@ -22,6 +22,7 @@ instead.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import multiprocessing
 import os
 from typing import Any, Dict, Iterator, Optional
 
@@ -65,9 +66,12 @@ class DataLoader:
         if num_workers > 0:
             if (os.cpu_count() or 1) > 1:
                 try:
+                    # spawn: forking after JAX/PJRT init can deadlock
+                    # multithreaded parents; workers must start clean.
                     self._pool = cf.ProcessPoolExecutor(
                         num_workers, initializer=_worker_init,
-                        initargs=(dataset,))
+                        initargs=(dataset,),
+                        mp_context=multiprocessing.get_context("spawn"))
                     self.mode = "process"
                 except Exception:
                     self._pool = None

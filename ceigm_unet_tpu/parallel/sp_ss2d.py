@@ -48,9 +48,9 @@ def _halo_dwconv(x, kernel, bias, axis_name):
         xp = jnp.concatenate([top, x, bot], axis=1)
     else:
         xp = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)))
+    # vertical padding already provided by halos (or the explicit pad)
     out = jax.lax.conv_general_dilated(
-        xp, kernel.astype(x.dtype), (1, 1),
-        [(0, 0), (r, r)] if (r > 0 and n > 1) else [(0, 0), (r, r)],
+        xp, kernel.astype(x.dtype), (1, 1), [(0, 0), (r, r)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C)
     if bias is not None:
         out = out + bias.astype(x.dtype)
