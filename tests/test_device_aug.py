@@ -3,7 +3,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ceigm_unet_tpu.data.device_aug import device_augment
+from ceigm_unet_tpu.data.device_aug import (N_OPS, _piecewise_map,
+                                            device_augment, someof_active)
 
 
 def test_shapes_and_dtypes():
@@ -43,8 +44,78 @@ def test_identity_when_no_ops_fire():
     imgs = jnp.asarray(rng.random((16, 64, 64)), jnp.float32)
     labs = jnp.asarray(rng.integers(0, 4, (16, 64, 64)), jnp.int32)
     io, lo = device_augment(jax.random.PRNGKey(0), imgs, labs, out_size=64)
-    # some samples get no geometric op (p = 0.8^6 ~ 0.26 each); for those
-    # the label passes through exactly (photometric ops leave labels alone)
+    # some samples draw no geometric op (P >= 0.275 under SomeOf((0,4)) over
+    # the 10-op universe); for those the label passes through exactly
+    # (photometric ops leave labels alone)
     same = [i for i in range(16)
             if np.array_equal(np.asarray(lo[i]), np.asarray(labs[i]))]
     assert len(same) >= 1
+
+
+def test_someof_count_distribution():
+    """Exact SomeOf((0,4)) semantics: op count ~ Uniform{0..4} and each
+    op is marginally active with P = E[n]/10 = 0.2."""
+    trials = 4000
+    masks = jax.vmap(someof_active)(
+        jax.random.split(jax.random.PRNGKey(0), trials))
+    counts = np.asarray(jnp.sum(masks, axis=1))
+    hist = np.bincount(counts, minlength=6)
+    assert hist[5:].sum() == 0
+    # each count in {0..4} occurs w.p. 0.2 -> ~800 +- 5 sigma (~63)
+    np.testing.assert_allclose(hist[:5], trials / 5, atol=5 * np.sqrt(
+        trials * 0.2 * 0.8))
+    # per-op marginal activation: 0.2 each
+    marg = np.asarray(jnp.mean(masks.astype(jnp.float32), axis=0))
+    np.testing.assert_allclose(marg, 0.2, atol=0.04)
+    # subsets are uniform: P(op i & op j) = sum_n (1/5) C(8,n-2)/C(10,n)
+    pair = np.asarray(jnp.mean(
+        (masks[:, 0] & masks[:, 1]).astype(jnp.float32)))
+    expect = sum((1 / 5) * (n * (n - 1)) / (10 * 9) for n in range(5))
+    np.testing.assert_allclose(pair, expect, atol=0.02)
+
+
+def test_piecewise_map_matches_cpu_warp():
+    """Device piecewise map (displacement form over the static Delaunay
+    grid) == the CPU tier's per-triangle affine warp for the same control
+    points."""
+    from ceigm_unet_tpu.data.augment import piecewise_affine_warp
+    h = w = 48
+    rng = np.random.default_rng(5)
+    img = rng.random((h, w)).astype(np.float32)
+    lab = rng.integers(0, 4, (h, w)).astype(np.float32)
+
+    # identical control points to augment.py:_op_piecewise
+    yyg = np.linspace(0, h, 4)
+    xxg = np.linspace(0, w, 4)
+    xg, yg = np.meshgrid(xxg, yyg)
+    src = np.stack([yg.ravel(), xg.ravel()], axis=1)
+    jitter = rng.normal(0, 0.02, (16, 2)) * np.array([h, w])
+    wi, _ = piecewise_affine_warp(img, lab, src, src + jitter)
+
+    # device: same-size query grid (zoom grid at out=h is the pixel grid)
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    # drive the displacement path with the known jitter by linearity:
+    # _piecewise_map draws jitter internally, so recompute coords directly
+    from ceigm_unet_tpu.data.device_aug import _pw_statics
+    simplices, Minv, sid = _pw_statics(h, w, (h, w))
+    D = Minv @ jnp.asarray(jitter, jnp.float32)[simplices]
+    Dp = D[sid]
+    pixh = jnp.stack([gy, gx, jnp.ones_like(gy)], axis=-1)
+    disp = jnp.einsum("hwc,hwcd->hwd", pixh, Dp)
+    cy = np.asarray(gy + disp[..., 0], np.float64)
+    cx = np.asarray(gx + disp[..., 1], np.float64)
+    from scipy import ndimage
+    wi_dev = ndimage.map_coordinates(img, [cy, cx], order=1,
+                                     mode="constant")
+    np.testing.assert_allclose(wi_dev, wi, atol=2e-3)
+
+
+def test_piecewise_inactive_is_exact_identity():
+    gy, gx = jnp.meshgrid(jnp.arange(32, dtype=jnp.float32) * 1.5,
+                          jnp.arange(32, dtype=jnp.float32) * 1.5,
+                          indexing="ij")
+    qy, qx = _piecewise_map(jax.random.PRNGKey(0), jnp.asarray(False),
+                            gy, gx, 48, 48)
+    np.testing.assert_array_equal(np.asarray(qy), np.asarray(gy))
+    np.testing.assert_array_equal(np.asarray(qx), np.asarray(gx))
