@@ -13,10 +13,14 @@ Replaces the reference's LightningModule + Trainer machinery
   196-202) via orbax;
 - EarlyStopping on mean_train_loss with patience 1500 (effectively
   disabled, preserved for parity, train_synapse.py:204-209);
-- loguru-style file+stderr logging.
+- loguru-style file+stderr logging, plus machine-readable per-epoch
+  metric history (JSONL) — the counterpart of the CSV/TB scalar history
+  Lightning's default logger gives the reference for free
+  (train_synapse.py:211-221).
 """
 from __future__ import annotations
 
+import json
 import logging
 import os
 import sys
@@ -51,6 +55,21 @@ def setup_logger(log_dir: str, name: str) -> logging.Logger:
     logger.addHandler(fh)
     logger.addHandler(sh)
     return logger
+
+
+class MetricHistory:
+    """Append-only JSONL scalar history: one object per epoch with
+    whatever scalars the loop reports (loss, lr, val dice, throughput).
+    Readable with one ``pd.read_json(path, lines=True)``."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.path = path
+
+    def append(self, **scalars):
+        with open(self.path, "a") as f:
+            f.write(json.dumps(scalars) + "\n")
+            f.flush()
 
 
 def save_checkpoint(ckpt_dir: str, name: str, state: TrainState,
@@ -98,9 +117,11 @@ def run_training(cfg: TrainConfig, train_ds, val_volumes=None,
                         num_workers=cfg.num_workers, seed=cfg.seed)
     steps_per_epoch = max(1, len(loader))
 
-    tx = make_optimizer(
-        cosine_lr(cfg.lr, cfg.eta_min, cfg.max_epochs, steps_per_epoch),
-        weight_decay=cfg.weight_decay)
+    lr_sched = cosine_lr(cfg.lr, cfg.eta_min, cfg.max_epochs,
+                         steps_per_epoch)
+    tx = make_optimizer(lr_sched, weight_decay=cfg.weight_decay)
+    history = MetricHistory(
+        os.path.join(cfg.log_dir, f"{cfg.name}.metrics.jsonl"))
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((1, cfg.img_size, cfg.img_size, 1), jnp.float32)
     state = create_train_state(model, rng, sample, tx)
@@ -155,8 +176,15 @@ def run_training(cfg: TrainConfig, train_ds, val_volumes=None,
                 stop = True
                 break
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        epoch_time = time.time() - t0
         logger.info(f"epoch {epoch} mean_train_loss {mean_loss:.4f} "
-                    f"({time.time() - t0:.1f}s, {len(losses)} steps)")
+                    f"({epoch_time:.1f}s, {len(losses)} steps)")
+        row = {"epoch": epoch, "step": global_step,
+               "mean_train_loss": mean_loss,
+               "lr": float(lr_sched(global_step)),
+               "epoch_time_s": round(epoch_time, 3),
+               "slices_per_s": round(
+                   len(losses) * cfg.batch_size / max(epoch_time, 1e-9), 2)}
 
         # EarlyStopping parity (patience 1500 on mean_train_loss)
         if mean_loss < best_loss:
@@ -181,11 +209,13 @@ def run_training(cfg: TrainConfig, train_ds, val_volumes=None,
                 dices.append(float(np.mean(per_class)))
             val_dice = float(np.mean(dices)) if dices else 0.0
             logger.info(f"epoch {epoch} val_mean_dice {val_dice:.4f}")
+            row["val_mean_dice"] = val_dice
             if val_dice > best_dice:
                 best_dice = val_dice
                 save_checkpoint(
                     cfg.ckpt_dir, f"{cfg.name}-best", state,
                     {"epoch": epoch, "val_mean_dice": val_dice})
+        history.append(**row)
         save_checkpoint(cfg.ckpt_dir, f"{cfg.name}-last", state,
                         {"epoch": epoch})
         if stop:

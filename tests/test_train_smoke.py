@@ -113,3 +113,12 @@ def test_acdc_training_cli(tmp_path):
     state = run_training(cfg, train_ds, val_volumes=None, max_steps=2)
     assert int(state.step) == 2
     assert os.path.isdir(tmp_path / "ckpt" / "acdc-last")
+
+    # machine-readable metric history (JSONL, one row per epoch)
+    import json
+    hist_path = tmp_path / "logs" / "acdc.metrics.jsonl"
+    rows = [json.loads(l) for l in hist_path.read_text().splitlines()]
+    assert len(rows) == 1
+    for k in ("epoch", "step", "mean_train_loss", "lr", "slices_per_s"):
+        assert k in rows[0], rows[0]
+    assert rows[0]["step"] == 2 and rows[0]["lr"] > 0
