@@ -135,17 +135,17 @@ def quad_ssm_nhwc(xc_k: jnp.ndarray, p, R: int,
     return check_nan_inf("quad_ssm_nhwc.y", y)
 
 
-def _quad_planar(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
-                 dtype):
-    """Group-planar fused quad path: dt/B/C projections as block-diagonal
-    dense GEMMs, then one pallas launch per group scanning its (H, W*D)
-    block in its own direction with the group-LN fused in the kernel
-    (ops/quad_scan.py:sscan_quad_ln). B/C enter as per-pixel scalar maps,
-    lane-expanded in-kernel (no (B,K,L,D) broadcast copies in HBM).
+def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
+                   dtype):
+    """Per-group fused quad path (v3): dt/B/C projections as
+    block-diagonal dense GEMMs, then one pallas launch per group scanning
+    its (H, W*D) block in its own direction with the group-LN fused in
+    the kernel (ops/quad_scan.py:sscan_quad_ln). B/C enter as per-pixel
+    scalar maps, lane-expanded in-kernel. Kept as the CEIGM_PLANAR=0
+    alternative to the planar kernel for model-level A/B.
 
     xc: (B, H, W, K*D) planar post conv+silu -> normalized (ungated)
-    activation (B, K, L, D) in `dtype`, pixel-ordered (merge-free); the
-    z-gate is applied by the caller, fused into the out-proj GEMM.
+    activation (B, K, L, D) in `dtype`, pixel-ordered (merge-free).
     """
     from ceigm_unet_tpu.ops.quad_scan import sscan_quad_ln
     K = len(directions)
@@ -176,6 +176,82 @@ def _quad_planar(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
     y = sscan_quad_ln(ut, dtt, Bt, Ct, A, bias, Ds,
                       (ln_scale, ln_bias), H, W,
                       tuple(int(d) for d in directions))
+    from ceigm_unet_tpu.utils.debug import check_nan_inf
+    return check_nan_inf("quad_pergroup.y", y)
+
+
+def _use_planar() -> bool:
+    """Opt-in gate for the v5 planar all-direction kernel
+    (ops/quad_scan.py:sscan_planar_ln). Default OFF: the model-level A/B
+    (tools/exp_quad_ab.py, r3) measured planar at 78.2 ms vs the
+    per-group v3 path's 72.3 ms on the same tree — the full-lane-width
+    redundant scans plus the per-call I/O floor cost more than the
+    boundary relayouts they remove. Kept for re-evaluation if Mosaic
+    grows cheaper lane-masked scans or in-kernel (L,C)<->(H,W*C) retiles.
+    """
+    import os
+    return os.environ.get("CEIGM_PLANAR", "0") == "1"
+
+
+def _quad_planar(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
+                 dtype):
+    """Group-planar fused quad path feeding ONE planar pallas kernel that
+    scans every group in its own direction with the group-LN fused in
+    (ops/quad_scan.py:sscan_planar_ln, v5). All tensors stay in the
+    planar padded (B, L, Dp) layout the GEMMs emit — the
+    (B,L,K,D)<->(B,K,L,D) relayouts of the per-group kernel era are gone,
+    and the kernel contains no matmuls:
+
+    - dt's rank-R bottleneck is collapsed at trace time
+      (xc @ Wx_dt) @ Wdt == xc @ (Wx_dt @ Wdt), one block-diagonal GEMM;
+    - the per-pixel scalar B/C projections are lane-tiled in the WEIGHT
+      (each group's projection row repeated Dg times), so the GEMM output
+      is already the lane-broadcast (B, L, Dp) map the scan consumes;
+    - groups are padded to Dg = next_pow2(D) lanes (identity at the
+      pow2 stage widths that dominate) for the kernel's butterfly LN.
+
+    xc: (B, H, W, K*D) planar post conv+silu -> normalized (ungated)
+    activation (B, L, Dp) PADDED planar in `dtype` (pad lanes zero); the
+    z-gate + out-projection run at the padded width in the caller.
+    """
+    from ceigm_unet_tpu.ops.quad_scan import sscan_planar_ln, _group_lanes
+    K = len(directions)
+    B_ = xc.shape[0]
+    L = H * W
+    Din = K * D
+    Dg = _group_lanes(D)
+    Dp = K * Dg
+    xcf = xc.reshape(B_ * L, Din)
+
+    wx = p.x_proj_weight.astype(dtype)                  # (K, R+2, D)
+    wdt = p.dt_projs_weight.astype(dtype)               # (K, D, R)
+    # collapsed dt path: (D, Dg) per group, zero pad columns
+    wdt_full = jnp.einsum("krd,ker->kde", wx[:, :R], wdt)
+    pad_cols = ((0, 0), (0, 0), (0, Dg - D))
+    wdt_bd = jax.scipy.linalg.block_diag(
+        *jnp.pad(wdt_full, pad_cols))                   # (Din, Dp)
+    # lane-tiled B/C projection columns (broadcast built into the GEMM)
+    wB_bd = jax.scipy.linalg.block_diag(
+        *jnp.broadcast_to(wx[:, R, :, None], (K, D, Dg)))
+    wC_bd = jax.scipy.linalg.block_diag(
+        *jnp.broadcast_to(wx[:, R + 1, :, None], (K, D, Dg)))
+
+    dt = (xcf @ wdt_bd).reshape(B_, L, Dp)
+    Bexp = (xcf @ wB_bd).reshape(B_, L, Dp)
+    Cexp = (xcf @ wC_bd).reshape(B_, L, Dp)
+    if Dg == D:
+        u = xc.reshape(B_, L, Dp)
+    else:
+        u = jnp.pad(xc.reshape(B_, L, K, D),
+                    ((0, 0), (0, 0), (0, 0), (0, Dg - D))
+                    ).reshape(B_, L, Dp)
+
+    A = -jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D)
+    bias = p.dt_projs_bias.astype(jnp.float32)
+    Ds = p.Ds.astype(jnp.float32).reshape(K, D)
+    y = sscan_planar_ln(u, dt, Bexp, Cexp, A, bias, Ds,
+                        (ln_scale, ln_bias), H, W, D,
+                        tuple(int(d) for d in directions))
     from ceigm_unet_tpu.utils.debug import check_nan_inf
     return check_nan_inf("quad_planar.y", y)
 
@@ -296,13 +372,20 @@ class QuadGroupSS2D(nn.Module):
     directions: Sequence[int] = (1, 2, 3, 4)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+        """x: (B, H, W, C), or flat (B, L, C) with ``hw`` — the flat form
+        feeds the GEMM chain without ever materializing a 4-D layout
+        (the planar scan kernel reads the (B, H, W*Din) bitcast view)."""
         K = len(self.directions)
         dg = self.dim // K                      # per-group d_model
         d_inner = int(self.ssm_ratio * dg)
         Din = K * d_inner
         R = math.ceil(dg / 16)
-        B_, H, W, C = x.shape
+        in4 = x.ndim == 4
+        B_ = x.shape[0]
+        H, W = x.shape[1:3] if in4 else hw
+        C = x.shape[-1]
         L = H * W
 
         quad_fast = _use_quad_nhwc(self.d_state, self.scan_backend)
@@ -313,17 +396,22 @@ class QuadGroupSS2D(nn.Module):
         # MXU-tiled (C x 2*Din) GEMM; the zero blocks are free FLOPs.
         w_in = self.param("in_proj_weight", trunc_normal(),
                           (K, dg, 2 * d_inner))
-        w_bd = jax.scipy.linalg.block_diag(
-            *[w_in[k] for k in range(K)]).astype(self.dtype)
-        # column permutation: [xc_k | z_k] per block -> [all xc | all z]
-        cols = np.arange(K * 2 * d_inner).reshape(K, 2 * d_inner)
-        perm = np.concatenate([cols[:, :d_inner].ravel(),
-                               cols[:, d_inner:].ravel()])
+        from ceigm_unet_tpu.ops.quad_scan import _group_lanes
+        Dg = _group_lanes(d_inner)
+        use_planar = quad_fast and _use_planar()
+        # on the planar path z runs at the kernel's padded planar width
+        # (zero columns per group) so the gate + out-proj stay slice-free
+        zpad = (Dg - d_inner) if use_planar else 0
+        w_xc_bd = jax.scipy.linalg.block_diag(
+            *[w_in[k][:, :d_inner] for k in range(K)]).astype(self.dtype)
+        w_z_bd = jax.scipy.linalg.block_diag(
+            *[jnp.pad(w_in[k][:, d_inner:], ((0, 0), (0, zpad)))
+              for k in range(K)]).astype(self.dtype)
         xp = x.astype(self.dtype).reshape(B_ * L, C)
         # two GEMMs (not one + lane slice): each output feeds a different
         # consumer layout; slicing a fused GEMM output costs a relayout
-        xc = (xp @ w_bd[:, perm[:Din]]).reshape(B_, L, Din)
-        z = nn.silu(xp @ w_bd[:, perm[Din:]]).reshape(B_, L, Din)
+        xc = (xp @ w_xc_bd).reshape(B_, L, Din)
+        z = nn.silu(xp @ w_z_bd)            # (B*L, Din + K*zpad)
 
         from ceigm_unet_tpu.models.layers import _DwParams
         dwp = _DwParams(self.d_conv, Din, use_bias=self.conv_bias,
@@ -346,16 +434,29 @@ class QuadGroupSS2D(nn.Module):
                                       dwb if self.conv_bias else None))
 
         if quad_fast and self.d_state == 1:
-            yg = _quad_planar(xc, p, R, ln_scale, ln_bias,
-                              self.directions, H, W, d_inner,
-                              self.dtype)       # (B,K,L,D) normalized
-            yt = jnp.swapaxes(yg, 1, 2).reshape(B_ * L, Din)
-            wout_bd = jax.scipy.linalg.block_diag(
-                *[w_out[k] for k in range(K)]).astype(self.dtype)
+            if use_planar:
+                Dp = K * Dg
+                yg = _quad_planar(xc, p, R, ln_scale, ln_bias,
+                                  self.directions, H, W, d_inner,
+                                  self.dtype)   # (B, L, Dp) normalized
+                yt = yg.reshape(B_ * L, Dp)
+                # out-proj rows zero-padded to the planar width — the
+                # padded lanes (zero in both yt and z) never get
+                # unpadded anywhere
+                wout_bd = jax.scipy.linalg.block_diag(
+                    *[jnp.pad(w_out[k], ((0, Dg - d_inner), (0, 0)))
+                      for k in range(K)]).astype(self.dtype)
+            else:
+                yk = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
+                                    self.directions, H, W, d_inner,
+                                    self.dtype)  # (B, K, L, D) normalized
+                yt = jnp.swapaxes(yk, 1, 2).reshape(B_ * L, Din)
+                wout_bd = jax.scipy.linalg.block_diag(
+                    *[w_out[k] for k in range(K)]).astype(self.dtype)
             # z-gate fused into the out-proj GEMM prologue (z is planar)
-            out = ((yt.astype(self.dtype) * z.reshape(B_ * L, Din))
-                   @ wout_bd)
-            return out.reshape(B_, H, W, C)
+            out = (yt.astype(self.dtype) * z) @ wout_bd
+            return (out.reshape(B_, H, W, C) if in4
+                    else out.reshape(B_, L, C))
 
         z = z.reshape(B_, H, W, Din)
 
@@ -378,4 +479,5 @@ class QuadGroupSS2D(nn.Module):
         yg = yg.astype(self.dtype) * z.reshape(B_, H, W, K, d_inner)
 
         out = jnp.einsum("bhwkd,kdc->bhwkc", yg, w_out.astype(self.dtype))
-        return out.reshape(B_, H, W, C)
+        return (out.reshape(B_, H, W, C) if in4
+                else out.reshape(B_, L, C))

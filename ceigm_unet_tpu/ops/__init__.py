@@ -25,5 +25,6 @@ __all__ = [
     "zoom_slices", "zoom_slices_nearest", "zoom_matrix",
     "grid_sample_bilinear", "grid_sample_bilinear_mm", "depthwise_conv2d",
 ]
-from ceigm_unet_tpu.ops.quad_scan import scan2d, sscan_dir, sscan_quad_ln
+from ceigm_unet_tpu.ops.quad_scan import (
+    scan2d, sscan_dir, sscan_quad_ln, sscan_planar_ln)
 from ceigm_unet_tpu.ops.tapconv import lgag_psi_eval
