@@ -29,7 +29,10 @@ import numpy as np
 
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
-        x = x.detach().cpu().numpy()
+        # copy=True: .numpy() is a VIEW of the live torch buffer, and on
+        # CPU jnp.asarray can keep it zero-copy — an in-place torch update
+        # (optimizer.step) would silently mutate the converted tree
+        x = np.array(x.detach().cpu().numpy(), copy=True)
     return np.asarray(x)
 
 
