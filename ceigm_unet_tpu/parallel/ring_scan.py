@@ -18,6 +18,8 @@ exclusive prefix is then combined locally in log(n) arithmetic.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -33,7 +35,41 @@ def sequence_parallel_scan(a: jnp.ndarray, b: jnp.ndarray,
     global inclusive scan h. ``reverse=True`` scans the global sequence
     back-to-front (local flip + predecessor set {shards > idx}) — no data
     movement beyond the same summary exchange.
+
+    Differentiable: the custom VJP is the mathematical adjoint of the
+    first-order recurrence — the reversed-direction SP scan of the
+    shifted coefficients (same trick as ops/quad_scan.py:_scan2d_bwd),
+    with the one-element global shifts exchanged over a ppermute ring.
+    SP training, not just inference, goes through this path.
     """
+    return _sp_scan(a, b, axis_name, reverse)
+
+
+def _sp_shift(x, axis_name, forward: bool, fill: float):
+    """Global one-element shift along the sharded last axis:
+    ``forward=True`` -> x'_t = x_{t+1} (fill at the global end),
+    ``forward=False`` -> x'_t = x_{t-1} (fill at the global start).
+    One boundary lane rides the ppermute ring; everything else is local.
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    if forward:
+        edge = x[..., :1]
+        if n > 1:
+            edge = jax.lax.ppermute(edge, axis_name,
+                                    [(i, i - 1) for i in range(1, n)])
+        edge = jnp.where(idx == n - 1, jnp.full_like(edge, fill), edge)
+        return jnp.concatenate([x[..., 1:], edge], axis=-1)
+    edge = x[..., -1:]
+    if n > 1:
+        edge = jax.lax.ppermute(edge, axis_name,
+                                [(i, i + 1) for i in range(n - 1)])
+    edge = jnp.where(idx == 0, jnp.full_like(edge, fill), edge)
+    return jnp.concatenate([edge, x[..., :-1]], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _sp_scan(a, b, axis_name, reverse):
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
 
@@ -73,6 +109,25 @@ def sequence_parallel_scan(a: jnp.ndarray, b: jnp.ndarray,
     # h_t = h_t_local + (prod_{s<=t} a_s_local) * h_prefix
     h = hh + ah * h_pre[..., None]
     return jnp.flip(h, -1) if reverse else h
+
+
+def _sp_scan_fwd(a, b, axis_name, reverse):
+    h = _sp_scan(a, b, axis_name, reverse)
+    return h, (a, h)
+
+
+def _sp_scan_bwd(axis_name, reverse, res, gh):
+    """Adjoint of h_t = a_t * h_{prev(t)} + b_t over the global order:
+    g = scan in the REVERSED direction of (a successor-shifted, gh);
+    da_t = g_t * h_{prev(t)}, db_t = g_t."""
+    a, h = res
+    a_next = _sp_shift(a, axis_name, forward=not reverse, fill=1.0)
+    g = _sp_scan(a_next, gh, axis_name, not reverse)
+    h_prev = _sp_shift(h, axis_name, forward=reverse, fill=0.0)
+    return g * h_prev, g
+
+
+_sp_scan.defvjp(_sp_scan_fwd, _sp_scan_bwd)
 
 
 def selective_scan_sp_check(mesh) -> None:
