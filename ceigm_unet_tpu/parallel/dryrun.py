@@ -81,6 +81,45 @@ def run(n_devices: int) -> None:
     from ceigm_unet_tpu.parallel.ring_scan import selective_scan_sp_check
     selective_scan_sp_check(mesh)
 
+    # DP EQUIVALENCE: the sharded step must match single-device numerics
+    # (the DDP contract, train_synapse.py:211-221), not merely stay finite.
+    # Uses the tiny encoder so this adds seconds, not a second flagship
+    # compile; tests/test_dp_equivalence.py runs the same check over 3
+    # steps with full tree comparison.
+    def tiny_step(n: int):
+        import optax
+        m = build_model(num_classes=4, enc_name="gm_test",
+                        scan_backend="assoc")
+        # SGD, not Adam: first-step Adam normalizes by |g|+eps and blows
+        # reassociation-level noise up to a full step (see
+        # tests/test_dp_equivalence.py docstring)
+        tx2 = optax.sgd(1e-2, momentum=0.9)
+        st = create_train_state(m, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 32, 32, 1), jnp.float32), tx2)
+        msh = make_mesh(n)
+        rp = NamedSharding(msh, P())
+        st = jax.device_put(st, rp)
+        rng0 = np.random.default_rng(5)
+        b = shard_batch(msh, {
+            "image": jnp.asarray(rng0.standard_normal((n_devices, 32, 32, 1)),
+                                 jnp.float32),
+            "label": jnp.asarray(rng0.integers(0, 4, (n_devices, 32, 32)),
+                                 jnp.int32)})
+        st2, mt = jax.jit(make_train_step(m, 0.4, 0.6),
+                          out_shardings=(rp, rp))(
+            st, b, jax.random.PRNGKey(3), jnp.asarray(False))
+        return st2, float(mt["loss"])
+
+    s1, l1 = tiny_step(1)
+    sn, ln_ = tiny_step(n_devices)
+    assert abs(l1 - ln_) <= 1e-5 * max(1.0, abs(l1)), (l1, ln_)
+    for t1, tn in ((s1.params, sn.params),
+                   (s1.batch_stats, sn.batch_stats)):
+        for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(tn)):
+            a, b = np.asarray(a), np.asarray(b)
+            assert np.allclose(a, b, rtol=1e-5,
+                               atol=1e-8 + 1e-5 * np.abs(a).max())
+
 
 def main() -> None:
     import sys

@@ -18,3 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# persistent compile cache: repeat runs of the heavy jit tests (train-step
+# compiles in test_dp_equivalence / test_train_smoke) drop from minutes to
+# seconds; the cache dir is gitignored
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
