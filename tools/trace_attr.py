@@ -27,6 +27,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: full-model TPU compiles take ~10 min of
+# single-core host time; repeat tool runs on an unchanged model hit the
+# cache in seconds (dir is gitignored)
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 print = functools.partial(print, flush=True)
 
 
