@@ -337,13 +337,17 @@ class Front(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        for i in range(self.depth):
+        from ceigm_unet_tpu.models.layers import (
+            use_wide, wide_dim, pad_lanes)
+        wdim = wide_dim(self.dim) if use_wide() else self.dim
+        x = pad_lanes(x, wdim)          # wide-lane block chain (see
+        for i in range(self.depth):     # layers.use_wide); pads zero
             x = BlockMamba(dim=self.dim, mlp_ratio=4.0,
                            drop_path=float(self.drop_paths[i]),
                            use_custom_ffn=True, norm_eps=1e-5,
                            scan_backend=self.scan_backend, dtype=self.dtype,
                            name=f"block{i}")(x, deterministic=not train)
-        return x
+        return x[..., :self.dim]
 
 
 class EMCAD(nn.Module):

@@ -23,7 +23,9 @@ import numpy as np
 from flax import linen as nn
 
 from ceigm_unet_tpu.models.ss2d import QuadGroupSS2D
-from ceigm_unet_tpu.models.layers import DropPath, Pvt2Ffn, CustomFfn
+from ceigm_unet_tpu.models.layers import (
+    DropPath, Pvt2Ffn, CustomFfn, PadDense, PadLN, use_wide, wide_dim,
+    pad_lanes)
 from ceigm_unet_tpu.utils.initializers import (
     trunc_normal, conv_fan_out_normal)
 
@@ -45,17 +47,34 @@ class GroupMambaLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C)
-        norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")
-        xn = norm(x.astype(jnp.float32)).astype(self.dtype)
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, H, W, C|Cw)
+        wide = x.shape[-1] != self.dim      # wide-lane mode (pads zero)
+        if wide:
+            norm = PadLN(true_c=self.dim, name="norm")
+            xn = norm(x).astype(self.dtype)
+        else:
+            norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                name="norm")
+            xn = norm(x.astype(jnp.float32)).astype(self.dtype)
 
         # channel affinity: global average over tokens -> squeeze-excite
         zc = jnp.mean(xn, axis=(1, 2))  # (B, C)
-        zc = nn.Dense(self.dim // self.reduction, kernel_init=trunc_normal(),
-                      dtype=self.dtype, name="fc1")(zc)
-        zc = nn.relu(zc)
-        zc = nn.Dense(self.dim, kernel_init=trunc_normal(), dtype=self.dtype,
-                      name="fc2")(zc)
+        if wide:
+            zc = PadDense(self.dim // self.reduction, true_in=self.dim,
+                          kernel_init=trunc_normal(), dtype=self.dtype,
+                          name="fc1")(zc)
+            zc = nn.relu(zc)
+            # pad-lane affinity is sigmoid(0)=0.5, gating zeros: harmless
+            zc = PadDense(self.dim, true_in=self.dim // self.reduction,
+                          wide_out=x.shape[-1], kernel_init=trunc_normal(),
+                          dtype=self.dtype, name="fc2")(zc)
+        else:
+            zc = nn.Dense(self.dim // self.reduction,
+                          kernel_init=trunc_normal(), dtype=self.dtype,
+                          name="fc1")(zc)
+            zc = nn.relu(zc)
+            zc = nn.Dense(self.dim, kernel_init=trunc_normal(),
+                          dtype=self.dtype, name="fc2")(zc)
         affinity = nn.sigmoid(zc)[:, None, None, :]  # (B, 1, 1, C)
 
         skip_scale = self.param("skip_scale", nn.initializers.ones, (1,))
@@ -66,7 +85,13 @@ class GroupMambaLayer(nn.Module):
                           name="mamba")(xn)
         y = y * skip_scale.astype(self.dtype) * xn
         y = y * affinity
-        y = norm(y.astype(jnp.float32)).astype(self.dtype)  # shared-params LN
+        if wide:
+            y = norm(y).astype(self.dtype)  # shared-params LN
+            return PadDense(self.dim, true_in=self.dim,
+                            wide_out=x.shape[-1],
+                            kernel_init=trunc_normal(), dtype=self.dtype,
+                            name="proj")(y)
+        y = norm(y.astype(jnp.float32)).astype(self.dtype)
         return nn.Dense(self.dim, kernel_init=trunc_normal(),
                         dtype=self.dtype, name="proj")(y)
 
@@ -84,18 +109,26 @@ class BlockMamba(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        wide = x.shape[-1] != self.dim      # wide-lane mode (pads zero)
         attn = GroupMambaLayer(dim=self.dim, scan_backend=self.scan_backend,
                                dtype=self.dtype, name="attn")(x)
         x = x + DropPath(self.drop_path, name="drop_path1")(
             attn, deterministic)
-        xn = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32,
-                          name="norm2")(
-            x.astype(jnp.float32)).astype(self.dtype)
-        hidden = int(self.dim * self.mlp_ratio)
-        if self.use_custom_ffn:
-            m = CustomFfn(hidden=hidden, dtype=self.dtype, name="mlp")(xn)
+        if wide:
+            xn = PadLN(true_c=self.dim, epsilon=self.norm_eps,
+                       name="norm2")(x).astype(self.dtype)
         else:
-            m = Pvt2Ffn(hidden=hidden, dtype=self.dtype, name="mlp")(xn)
+            xn = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32,
+                              name="norm2")(
+                x.astype(jnp.float32)).astype(self.dtype)
+        hidden = int(self.dim * self.mlp_ratio)
+        tc = self.dim if wide else 0
+        if self.use_custom_ffn:
+            m = CustomFfn(hidden=hidden, dtype=self.dtype, true_c=tc,
+                          name="mlp")(xn)
+        else:
+            m = Pvt2Ffn(hidden=hidden, dtype=self.dtype, true_c=tc,
+                        name="mlp")(xn)
         return x + DropPath(self.drop_path, name="drop_path2")(
             m, deterministic)
 
@@ -189,6 +222,11 @@ class GroupMamba(nn.Module):
             else:
                 x = DownSample(out_dim=dim, dtype=self.dtype,
                                name=f"patch_embed{i + 1}")(x)
+            # wide-lane stages: run the block chain zero-padded to the
+            # 128-lane tile (C-in-lanes layouts everywhere; see
+            # layers.use_wide). Pad once at stage entry, slice at exit.
+            wdim = wide_dim(dim) if use_wide() else dim
+            x = pad_lanes(x, wdim)
             for j in range(depth):
                 x = BlockMamba(dim=dim, mlp_ratio=ratio,
                                drop_path=float(dpr[cur + j]),
@@ -198,9 +236,14 @@ class GroupMamba(nn.Module):
                                name=f"block{i + 1}_{j}")(
                     x, deterministic=not train)
             cur += depth
-            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
-                             name=f"norm{i + 1}")(
-                x.astype(jnp.float32)).astype(self.dtype)
+            if wdim != dim:
+                x = PadLN(true_c=dim, epsilon=1e-6,
+                          name=f"norm{i + 1}")(x).astype(self.dtype)
+                x = x[..., :dim]
+            else:
+                x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                                 name=f"norm{i + 1}")(
+                    x.astype(jnp.float32)).astype(self.dtype)
             feats.append(x)
         return feats
 

@@ -19,6 +19,84 @@ from ceigm_unet_tpu.utils.initializers import (
     trunc_normal, conv_fan_out_normal_grouped)
 
 
+def use_wide() -> bool:
+    """Gate for wide-lane stages: activations of stages whose channel
+    count is not a multiple of the 128-lane tile run zero-padded to the
+    next multiple. Rationale (r3 device traces, docs/STATUS.md): for
+    C < 128 tensors XLA prefers batch/space-in-lanes layouts, which makes
+    every pallas custom-call boundary a relayout cliff and cripples the
+    LN stat fusions (~17x off bandwidth). All padding happens in weights
+    at trace time — parameter shapes and checkpoints are unchanged."""
+    import os
+    return os.environ.get("CEIGM_WIDE", "0") == "1"
+
+
+def wide_dim(c: int) -> int:
+    """Lane-tile-aligned activation width for channel count ``c``."""
+    return c if c % 128 == 0 else -(-c // 128) * 128
+
+
+def pad_lanes(x: jnp.ndarray, wide: int) -> jnp.ndarray:
+    """Zero-pad the channel (last) axis to ``wide`` lanes."""
+    c = x.shape[-1]
+    if c == wide:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, wide - c)])
+
+
+class PadDense(nn.Module):
+    """nn.Dense computed at a wide lane-padded width with TRUE-shaped
+    parameters: the kernel/bias are zero-padded at trace time to accept
+    ``true_in``-real/-pad-lane inputs and emit ``wide_out`` lanes (pads
+    zero). Parameter names and shapes match nn.Dense exactly, so the
+    checkpoint tree is unchanged."""
+    features: int                    # true output features (param shape)
+    true_in: int                     # true input features (param shape)
+    wide_out: int = 0                # 0 = features (no output padding)
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        wi = x.shape[-1]
+        wo = self.wide_out or self.features
+        k = self.param("kernel", self.kernel_init,
+                       (self.true_in, self.features))
+        kw = jnp.pad(k, ((0, wi - self.true_in),
+                         (0, wo - self.features))).astype(self.dtype)
+        y = jax.lax.dot_general(x.astype(self.dtype), kw,
+                                (((x.ndim - 1,), (0,)), ((), ())))
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,))
+            y = y + jnp.pad(b, (0, wo - self.features)).astype(self.dtype)
+        return y
+
+
+class PadLN(nn.Module):
+    """LayerNorm over the TRUE leading ``true_c`` lanes of a zero-padded
+    channel axis: statistics divide by ``true_c`` (pad lanes hold zeros),
+    and the zero-padded scale keeps the output's pad lanes exactly zero.
+    Parameter names/shapes match nn.LayerNorm (scale/bias, (true_c,))."""
+    true_c: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        w = x.shape[-1]
+        s = self.param("scale", nn.initializers.ones, (self.true_c,))
+        b = self.param("bias", nn.initializers.zeros, (self.true_c,))
+        xf = x.astype(jnp.float32)
+        inv = 1.0 / float(self.true_c)
+        mu = jnp.sum(xf, axis=-1, keepdims=True) * inv
+        var = jnp.sum(xf * xf, axis=-1, keepdims=True) * inv - mu * mu
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        pad = (0, w - self.true_c)
+        return y * jnp.pad(s, pad).astype(jnp.float32) + jnp.pad(
+            b, pad).astype(jnp.float32)
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth."""
     rate: float = 0.0
@@ -73,19 +151,49 @@ def dw_conv(features: int, kernel: int, use_bias: bool = True,
 
 class Pvt2Ffn(nn.Module):
     """fc1 -> depthwise 3x3 -> GELU -> fc2 (reference PVT2FFN,
-    groupmamba.py:54-83). Input (B, H, W, C)."""
+    groupmamba.py:54-83). Input (B, H, W, C).
+
+    ``true_c`` (wide-lane mode): real channel count when the input's
+    channel axis arrives zero-padded past it — fc1/fc2 run as PadDense
+    with trace-time zero-padded weights (identical parameter tree)."""
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    true_c: int = 0
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
-                     dtype=self.dtype, name="fc1")(x)
+        wide = bool(self.true_c) and self.true_c != c
+        if _use_fused_ffn() and not wide and x.ndim == 4:
+            # one VMEM-resident kernel: the hidden tensor never hits HBM
+            # (ops/ffn_pallas.py; the unfused chain is ~1.4 ms/block of
+            # pure HBM traffic at stage-1 — r3 HLO/trace analysis)
+            B, H, W, _ = x.shape
+            w1 = _DenseParams(c, self.hidden, trunc_normal(), name="fc1")
+            dwp = _DwParams(3, self.hidden, name="dwconv")
+            w2 = _DenseParams(self.hidden, c, trunc_normal(), name="fc2")
+            from ceigm_unet_tpu.ops.ffn_pallas import pvt2ffn_fused
+            y = pvt2ffn_fused(
+                x.astype(self.dtype).reshape(B, H * W, c),
+                w1.kernel, w1.bias, dwp.kernel, dwp.bias,
+                w2.kernel, w2.bias, H, W)
+            return y.reshape(B, H, W, c)
+        if wide:
+            x = PadDense(self.hidden, true_in=self.true_c,
+                         kernel_init=trunc_normal(), dtype=self.dtype,
+                         name="fc1")(x)
+        else:
+            x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
+                         dtype=self.dtype, name="fc1")(x)
         x = dw_conv(self.hidden, 3, name="dwconv")(x)
         x = fast_gelu(x)
-        x = nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
-                     name="fc2")(x)
+        if wide:
+            x = PadDense(self.true_c, true_in=self.hidden, wide_out=c,
+                         kernel_init=trunc_normal(), dtype=self.dtype,
+                         name="fc2")(x)
+        else:
+            x = nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
+                         name="fc2")(x)
         return x
 
 
@@ -100,6 +208,32 @@ class _DwParams(nn.Module):
             self.c), (self.k, self.k, 1, self.c))
         if self.use_bias:
             self.bias = self.param("bias", nn.initializers.zeros, (self.c,))
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder with nn.Dense-compatible names (kernel/bias)."""
+    din: int
+    dout: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    def setup(self):
+        self.kernel = self.param("kernel", self.kernel_init,
+                                 (self.din, self.dout))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dout,))
+
+
+def _use_fused_ffn() -> bool:
+    """Opt-in gate for the VMEM-resident fused PVT2FFN kernel
+    (ops/ffn_pallas.py). Default OFF: the model-level A/B (r3) measured
+    the kernel at 10.5 ms vs the ~9.5 ms of XLA mega-fusions it replaces
+    — XLA's dwconv+fc2+LN-stat fusions already run near HBM bandwidth,
+    and the kernel's VPU-bound 9-tap shifts cost more than the HBM
+    traffic they avoid. Kept (tested, differentiable) for larger-HID
+    regimes or if Mosaic's shift codegen improves."""
+    import os
+    from ceigm_unet_tpu.ops.selective_scan import _resolve_backend
+    return (os.environ.get("CEIGM_FFN", "0") == "1"
+            and _resolve_backend("auto") == "pallas")
 
 
 class InceptionDWConvMultiScale(nn.Module):
@@ -148,21 +282,33 @@ class CustomFfn(nn.Module):
     """fc1 -> dw3x3 -> GELU -> InceptionDWConvMultiScale -> fc2.
 
     Reference: custom_ffn (model/gm/custom_mlp.py:335-368) — the MLP used by
-    the decoder-side mamba refinement blocks.
+    the decoder-side mamba refinement blocks. ``true_c``: see Pvt2Ffn.
     """
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    true_c: int = 0
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
-                     dtype=self.dtype, name="fc1")(x)
+        wide = bool(self.true_c) and self.true_c != c
+        if wide:
+            x = PadDense(self.hidden, true_in=self.true_c,
+                         kernel_init=trunc_normal(), dtype=self.dtype,
+                         name="fc1")(x)
+        else:
+            x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
+                         dtype=self.dtype, name="fc1")(x)
         x = dw_conv(self.hidden, 3, name="dwconv")(x)
         x = fast_gelu(x)
         x = InceptionDWConvMultiScale(name="custom")(x)
-        x = nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
-                     name="fc2")(x)
+        if wide:
+            x = PadDense(self.true_c, true_in=self.hidden, wide_out=c,
+                         kernel_init=trunc_normal(), dtype=self.dtype,
+                         name="fc2")(x)
+        else:
+            x = nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
+                         name="fc2")(x)
         return x
 
 

@@ -136,7 +136,7 @@ def quad_ssm_nhwc(xc_k: jnp.ndarray, p, R: int,
 
 
 def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
-                   dtype):
+                   dtype, dgw=None):
     """Per-group fused quad path (v3): dt/B/C projections as
     block-diagonal dense GEMMs, then one pallas launch per group scanning
     its (H, W*D) block in its own direction with the group-LN fused in
@@ -151,31 +151,39 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
     K = len(directions)
     B_ = xc.shape[0]
     L = H * W
-    Din = K * D
-    xcf = xc.reshape(B_ * L, Din)
+    Dw = dgw or D                       # wide per-group lanes (pads zero)
+    cpad = ((0, 0), (0, Dw - D))
+    xcf = xc.reshape(B_ * L, K * Dw)
 
     wx_bd = jax.scipy.linalg.block_diag(
-        *[jnp.swapaxes(p.x_proj_weight[k], 0, 1) for k in range(K)]
-    ).astype(dtype)                                     # (Din, K*(R+2))
+        *[jnp.pad(jnp.swapaxes(p.x_proj_weight[k], 0, 1),
+                  ((0, Dw - D), (0, 0))) for k in range(K)]
+    ).astype(dtype)                                     # (K*Dw, K*(R+2))
     x_dbl = (xcf @ wx_bd).reshape(B_, L, K, R + 2)
     dts, Bs, Cs = x_dbl[..., :R], x_dbl[..., R], x_dbl[..., R + 1]
 
     wdt_bd = jax.scipy.linalg.block_diag(
-        *[jnp.swapaxes(p.dt_projs_weight[k], 0, 1) for k in range(K)]
-    ).astype(dtype)                                     # (K*R, Din)
-    dt = (dts.reshape(B_ * L, K * R) @ wdt_bd).reshape(B_, L, K, D)
+        *[jnp.pad(jnp.swapaxes(p.dt_projs_weight[k], 0, 1), cpad)
+          for k in range(K)]
+    ).astype(dtype)                                     # (K*R, K*Dw)
+    dt = (dts.reshape(B_ * L, K * R) @ wdt_bd).reshape(B_, L, K, Dw)
 
-    ut = jnp.swapaxes(xc.reshape(B_, L, K, D), 1, 2)    # (B, K, L, D)
+    ut = jnp.swapaxes(xc.reshape(B_, L, K, Dw), 1, 2)   # (B, K, L, Dw)
     dtt = jnp.swapaxes(dt, 1, 2)
     Bt = jnp.swapaxes(Bs, 1, 2)                          # (B, K, L)
     Ct = jnp.swapaxes(Cs, 1, 2)
 
-    A = -jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D)
-    bias = p.dt_projs_bias.astype(jnp.float32)
-    Ds = p.Ds.astype(jnp.float32).reshape(K, D)
+    # pad-lane constants: A=-1 (bounded decay), everything else 0 — with
+    # u/dt pads zero the kernel's pad lanes emit exact zeros (see
+    # sscan_quad_ln docstring)
+    A = jnp.pad(-jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D),
+                cpad, constant_values=-1.0)
+    bias = jnp.pad(p.dt_projs_bias.astype(jnp.float32), cpad)
+    Ds = jnp.pad(p.Ds.astype(jnp.float32).reshape(K, D), cpad)
     y = sscan_quad_ln(ut, dtt, Bt, Ct, A, bias, Ds,
-                      (ln_scale, ln_bias), H, W,
-                      tuple(int(d) for d in directions))
+                      (jnp.pad(ln_scale, cpad), jnp.pad(ln_bias, cpad)),
+                      H, W, tuple(int(d) for d in directions),
+                      true_c=(D if Dw != D else None))
     from ceigm_unet_tpu.utils.debug import check_nan_inf
     return check_nan_inf("quad_pergroup.y", y)
 
@@ -390,6 +398,14 @@ class QuadGroupSS2D(nn.Module):
 
         quad_fast = _use_quad_nhwc(self.d_state, self.scan_backend)
 
+        # wide-lane mode: the input arrives zero-padded past self.dim
+        # (layers.use_wide) — every projection runs at the wide width via
+        # trace-time zero-padded weights, the groups live interleaved at
+        # dgw lanes each ([d_inner real | pad] x K), and the scan kernel
+        # gets true_c=d_inner so its group-LN stays exact.
+        wide = C != self.dim
+        dgw = (C // K) if wide else 0           # wide per-group lanes
+
         # per-group in_proj (stacked): (K, dg, 2*d_inner). Computed as ONE
         # dense block-diagonal matmul — the K-grouped einsum's tiny
         # (dg x 2*d_inner) contractions profile ~5x slower than a full
@@ -398,26 +414,44 @@ class QuadGroupSS2D(nn.Module):
                           (K, dg, 2 * d_inner))
         from ceigm_unet_tpu.ops.quad_scan import _group_lanes
         Dg = _group_lanes(d_inner)
-        use_planar = quad_fast and _use_planar()
+        use_planar = quad_fast and _use_planar() and not wide
         # on the planar path z runs at the kernel's padded planar width
         # (zero columns per group) so the gate + out-proj stay slice-free
-        zpad = (Dg - d_inner) if use_planar else 0
-        w_xc_bd = jax.scipy.linalg.block_diag(
-            *[w_in[k][:, :d_inner] for k in range(K)]).astype(self.dtype)
-        w_z_bd = jax.scipy.linalg.block_diag(
+        zpad = (Dg - d_inner) if use_planar else (
+            (dgw - d_inner) if (wide and quad_fast) else 0)
+        xc_pad = (dgw - d_inner) if (wide and quad_fast) else 0
+        row_pad = (C - self.dim) if wide else 0
+        w_xc_bd = jnp.pad(jax.scipy.linalg.block_diag(
+            *[jnp.pad(w_in[k][:, :d_inner], ((0, 0), (0, xc_pad)))
+              for k in range(K)]),
+            ((0, row_pad), (0, 0))).astype(self.dtype)
+        w_z_bd = jnp.pad(jax.scipy.linalg.block_diag(
             *[jnp.pad(w_in[k][:, d_inner:], ((0, 0), (0, zpad)))
-              for k in range(K)]).astype(self.dtype)
+              for k in range(K)]),
+            ((0, row_pad), (0, 0))).astype(self.dtype)
         xp = x.astype(self.dtype).reshape(B_ * L, C)
         # two GEMMs (not one + lane slice): each output feeds a different
         # consumer layout; slicing a fused GEMM output costs a relayout
-        xc = (xp @ w_xc_bd).reshape(B_, L, Din)
+        Dinw = Din + K * xc_pad             # xc width (== C when wide)
+        xc = (xp @ w_xc_bd).reshape(B_, L, Dinw)
         z = nn.silu(xp @ w_z_bd)            # (B*L, Din + K*zpad)
 
         from ceigm_unet_tpu.models.layers import _DwParams
         dwp = _DwParams(self.d_conv, Din, use_bias=self.conv_bias,
                         name="conv2d")
-        dwb = (dwp.bias if self.conv_bias
-               else jnp.zeros((Din,), jnp.float32))
+        if xc_pad:
+            # lane-interleaved zero padding of the depthwise kernel/bias
+            kpad = ((0, 0), (0, 0), (0, 0), (0, 0), (0, xc_pad))
+            kk = dwp.kernel.reshape(self.d_conv, self.d_conv, 1, K,
+                                    d_inner)
+            dwk = jnp.pad(kk, kpad).reshape(self.d_conv, self.d_conv, 1,
+                                            Dinw)
+            dwb = (jnp.pad(dwp.bias.reshape(K, d_inner),
+                           ((0, 0), (0, xc_pad))).reshape(Dinw)
+                   if self.conv_bias else None)
+        else:
+            dwk = dwp.kernel
+            dwb = dwp.bias if self.conv_bias else None
 
         p = _SSMParams(k=K, d_inner=d_inner, d_state=self.d_state,
                        dt_rank=R, name="ssm")
@@ -429,9 +463,8 @@ class QuadGroupSS2D(nn.Module):
                            (K, d_inner, dg))
 
         from ceigm_unet_tpu.ops.dwconv_pallas import depthwise_conv2d
-        xc = xc.reshape(B_, H, W, Din)
-        xc = nn.silu(depthwise_conv2d(xc, dwp.kernel,
-                                      dwb if self.conv_bias else None))
+        xc = xc.reshape(B_, H, W, Dinw)
+        xc = nn.silu(depthwise_conv2d(xc, dwk, dwb))
 
         if quad_fast and self.d_state == 1:
             if use_planar:
@@ -449,10 +482,17 @@ class QuadGroupSS2D(nn.Module):
             else:
                 yk = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
                                     self.directions, H, W, d_inner,
-                                    self.dtype)  # (B, K, L, D) normalized
-                yt = jnp.swapaxes(yk, 1, 2).reshape(B_ * L, Din)
-                wout_bd = jax.scipy.linalg.block_diag(
-                    *[w_out[k] for k in range(K)]).astype(self.dtype)
+                                    self.dtype,
+                                    dgw=(d_inner + xc_pad) if xc_pad
+                                    else None)
+                # (B, K, L, dgw) normalized, pad lanes zero
+                yt = jnp.swapaxes(yk, 1, 2).reshape(B_ * L, Dinw)
+                # wide: out-proj rows zero-padded per group, columns
+                # zero-padded to the wide output width (pads stay zero)
+                wout_bd = jnp.pad(jax.scipy.linalg.block_diag(
+                    *[jnp.pad(w_out[k], ((0, xc_pad), (0, 0)))
+                      for k in range(K)]),
+                    ((0, 0), (0, row_pad))).astype(self.dtype)
             # z-gate fused into the out-proj GEMM prologue (z is planar)
             out = (yt.astype(self.dtype) * z) @ wout_bd
             return (out.reshape(B_, H, W, C) if in4
@@ -479,5 +519,7 @@ class QuadGroupSS2D(nn.Module):
         yg = yg.astype(self.dtype) * z.reshape(B_, H, W, K, d_inner)
 
         out = jnp.einsum("bhwkd,kdc->bhwkc", yg, w_out.astype(self.dtype))
-        return (out.reshape(B_, H, W, C) if in4
-                else out.reshape(B_, L, C))
+        out = out.reshape(B_, H, W, self.dim)
+        if wide:  # generic fallback under wide lanes: re-pad the output
+            out = jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, C - self.dim)))
+        return out if in4 else out.reshape(B_, L, C)

@@ -182,12 +182,19 @@ def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
         for g in range(G):
             wyt = wy_ref[g]                      # (H, PT)
             wxt = wx_ref[g]                      # (W, PT)
-            im = im_ref[g].astype(jnp.float32)   # (H*W, C)
+            im = im_ref[g]                       # (H*W, C) input dtype
             # (an iota-selector-matmul build of w2 was A/B-tested ~25%
             # slower than this broadcast build — tools/exp_gs_ab.py;
-            # a bf16 build trips a Mosaic reshape bug)
+            # a bf16 BUILD trips a Mosaic reshape bug, so build f32 and
+            # cast after the reshape — the bf16xbf16->f32 dot then runs
+            # at the full MXU rate instead of the 3-4x slower f32 path,
+            # which dominated this kernel (r3 trace: 2.6 ms -> target
+            # ~1 ms at the finest stage). Hat weights in bf16 wiggle the
+            # interpolation by O(4e-3) relative — the fused path is
+            # already gated to the bf16 perf regime.)
             w2 = (wyt[:, None, :] * wxt[None, :, :]).reshape(H * W, -1)
-            o = jax.lax.dot_general(w2, im, (((0,), (0,)), ((), ())),
+            o = jax.lax.dot_general(w2.astype(im.dtype), im,
+                                    (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             out_ref[g] = o.astype(out_ref.dtype)  # (PT, C)
 

@@ -440,11 +440,18 @@ def _fused_quad_ln_kernel(H, W, C, true_c, dirn, u_ref, dt_ref, bs_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "directions",
-                                             "interpret"))
+                                             "true_c", "interpret"))
 def _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W, directions,
-                          interpret=False):
-    """Scan + group-LN fused; Bs/Cs are per-pixel scalars (B, K, L)."""
+                          true_c=None, interpret=False):
+    """Scan + group-LN fused; Bs/Cs are per-pixel scalars (B, K, L).
+
+    ``true_c``: real channel count per group when the caller hands lanes
+    already zero-padded past it (wide-lane stage mode) — the group-LN
+    statistics divide by ``true_c``, and the pad lanes (zero in u, dt,
+    and the ln scale/offset rows of ``consts``) emit exact zeros.
+    """
     B, K, L, C0 = u.shape
+    true_c = true_c or C0
     C = _pad_c(C0)
     if C != C0:
         pad4 = ((0, 0), (0, 0), (0, 0), (0, C - C0))
@@ -466,7 +473,7 @@ def _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W, directions,
         sspec = pl.BlockSpec((None, None, H, W), lambda i, g=g: (i, g, 0, 0),
                              memory_space=pltpu.VMEM)
         y = pl.pallas_call(
-            functools.partial(_fused_quad_ln_kernel, H, W, C, C0,
+            functools.partial(_fused_quad_ln_kernel, H, W, C, true_c,
                               int(dirn)),
             grid=(B,),
             in_specs=[spec, spec, sspec, sspec,
@@ -483,36 +490,48 @@ def _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W, directions,
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def sscan_quad_ln(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, directions):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def sscan_quad_ln(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, directions,
+                  true_c=None):
     """Fused scan + group-LN. ln = (scale, offset) each (K, C);
     Bs, Cs: (B, K, H*W) per-pixel input/output scalars (d_state = 1).
 
     Returns the normalized (ungated) activation, group-planar
     (B, K, H*W, C) in u.dtype, pixel-ordered.
+
+    ``true_c``: real channels per group when the last axis is handed in
+    already zero-padded past it (wide-lane stages): u/dt pad lanes must
+    be zero, A pad entries -1, bias/Dv/ln pads 0 — the LN statistics
+    then divide by ``true_c`` and the pad lanes emit exact zeros.
     """
     return _sscan_quad_ln_fwd(u, dt, Bs, Cs, A, bias, Dv, ln,
-                              H, W, directions)[0]
+                              H, W, directions, true_c)[0]
 
 
-def _sscan_quad_ln_fwd(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, directions):
+def _sscan_quad_ln_fwd(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, directions,
+                       true_c=None):
     interpret = jax.default_backend() != "tpu"
     ln_s, ln_b = ln
     consts = jnp.stack([A.astype(jnp.float32), bias.astype(jnp.float32),
                         Dv.astype(jnp.float32), ln_s.astype(jnp.float32),
                         ln_b.astype(jnp.float32)])
     outs = _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W,
-                                 tuple(directions), interpret=interpret)
+                                 tuple(directions), true_c=true_c,
+                                 interpret=interpret)
     out = jnp.stack(outs, axis=1)
     return out, (u, dt, Bs, Cs, A, bias, Dv, ln_s, ln_b)
 
 
-def _sscan_quad_ln_bwd(H, W, directions, res, go):
+def _sscan_quad_ln_bwd(H, W, directions, true_c, res, go):
     """Recompute-based backward: h via the scan kernel, LN backward in
-    XLA, then the scan adjoint via the reversed-direction kernel."""
+    XLA, then the scan adjoint via the reversed-direction kernel.
+    With ``true_c`` set, the LN statistic divisors use the true lane
+    count (pad lanes hold zeros — see the fwd docstring)."""
     u0, dt0, Bs0, Cs0, A, bias, Dv, ln_s, ln_b = res
     interpret = jax.default_backend() != "tpu"
     eps = 1e-5
+    inv_c = 1.0 / float(true_c or u0.shape[-1])
+    tmean = lambda x: jnp.sum(x, axis=-1, keepdims=True) * inv_c
 
     per = {k: [] for k in ("du", "ddt", "dBs", "dCs",
                            "dA", "dbias", "dD", "ds", "dt2")}
@@ -530,8 +549,8 @@ def _sscan_quad_ln_bwd(H, W, directions, res, go):
         h = _scan2d_kernel(a, b, H, W, dirn, interpret=interpret)
         y = Cf * h + Dv[k] * u
 
-        mu = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.var(y, axis=-1, keepdims=True)
+        mu = tmean(y)
+        var = tmean(y * y) - mu * mu
         ir = jax.lax.rsqrt(var + eps)
         yn = (y - mu) * ir
 
@@ -539,8 +558,7 @@ def _sscan_quad_ln_bwd(H, W, directions, res, go):
         per["ds"].append(jnp.sum(g * yn, axis=(0, 1)))
         per["dt2"].append(jnp.sum(g, axis=(0, 1)))
         dyn = g * ln_s[k]
-        dy = ir * (dyn - jnp.mean(dyn, axis=-1, keepdims=True)
-                   - yn * jnp.mean(dyn * yn, axis=-1, keepdims=True))
+        dy = ir * (dyn - tmean(dyn) - yn * tmean(dyn * yn))
 
         # y = C*h + D*u
         per["dCs"].append(jnp.sum(h * dy, axis=-1))
