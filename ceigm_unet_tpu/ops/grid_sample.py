@@ -112,11 +112,15 @@ def grid_sample_bilinear_fused(x: jnp.ndarray, grid: jnp.ndarray,
     """Pallas-fused version of :func:`grid_sample_bilinear_mm`.
 
     The XLA chunked form materializes a (P, W, C) intermediate to HBM
-    (~1.4 GB of traffic for the finest DySample stage). Here the hat-weight
-    tile is built in VMEM ((H*W, P_TILE), output pixels on lanes) and
-    contracted against the VMEM-resident image in one MXU matmul; HBM sees
-    only the inputs once and the output once. Exact same math; the custom
-    VJP differentiates the mm formulation (bf16 training path).
+    (~1.4 GB of traffic for the finest DySample stage). Here the hat
+    weights are built IN VMEM from the clamped sample coordinates (the
+    kernel reads only the (B, P) coordinate rows — the r3 predecessor
+    streamed precomputed (B, H|W, P) weight planes through HBM, ~1.5 GB
+    of round-trip traffic at the finest DySample stage), the (H*W,
+    P_TILE) outer-product tile never leaves VMEM, and the contraction
+    against the VMEM-resident image is one MXU matmul. Exact same math;
+    the custom VJP differentiates the mm formulation (bf16 training
+    path).
     """
     B, H, W, C = x.shape
     # fused path only for the bf16 perf regime (MXU fp32 matmuls truncate
@@ -145,8 +149,24 @@ def _gs_fused_bwd(p_tile, res, ct):
 _gs_fused.defvjp(_gs_fused_fwd, _gs_fused_bwd)
 
 
+def _gs_tile(H, W, P):
+    """Largest output-pixel tile: whole P when the (H*W, P) f32 scratch
+    fits the VMEM budget, else the largest lane-aligned (multiple-of-128)
+    divisor of P that does (no pad, no output slice — the P -> Pp slice
+    alone traced at 0.6 ms on the finest stage), else a padded 512."""
+    budget = 12 * 2**20
+    if H * W * P * 4 <= budget:
+        return P
+    best = 0
+    for k in range(1, P // 128 + 1):
+        t = 128 * k
+        if P % t == 0 and H * W * t * 4 <= budget:
+            best = t
+    return best or 512
+
+
 def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
-                   p_tile: int = 512) -> jnp.ndarray:
+                   p_tile: int = 512, interpret: bool = False) -> jnp.ndarray:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -157,31 +177,26 @@ def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
     gy = (grid[..., 1].astype(jnp.float32) + 1.0) * H / 2.0 - 0.5
     gx = jnp.clip(gx, 0.0, W - 1.0).reshape(B, P)
     gy = jnp.clip(gy, 0.0, H - 1.0).reshape(B, P)
-    # whole-P tiles when the w2 scratch fits VMEM: the lane dim may equal
-    # the (unpadded) array dim, so no pad and no output slice (the
-    # P -> Pp slice alone traced at 0.6 ms on the finest stage)
-    if H * W * P * 4 <= 12 * 2**20:
-        p_tile = P
+    p_tile = _gs_tile(H, W, P)
     Pp = -(-P // p_tile) * p_tile
     gx = jnp.pad(gx, ((0, 0), (0, Pp - P)))
     gy = jnp.pad(gy, ((0, 0), (0, Pp - P)))
-
-    iy = jnp.arange(H, dtype=jnp.float32)
-    ix = jnp.arange(W, dtype=jnp.float32)
-    # weights laid out with output pixels on LANES: (B, H|W, Pp)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(gy[:, None, :] - iy[:, None]))
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[:, None, :] - ix[:, None]))
     xf = x.reshape(B, H * W, C)
 
-    # batch G images per grid step: a near-empty kernel at grid (B, P/PT)
-    # measured ~1.5 us/step fixed cost (~2.7 ms at the finest stage) —
-    # fewer, fatter steps amortize it
-    G = 4 if B % 4 == 0 else 1
+    # batch G images per grid step (fixed ~1.5 us/step cost amortized),
+    # bounded so the image blocks stay well inside VMEM next to the
+    # (H*W, PT) f32 weight-tile scratch
+    G = 8 if B % 8 == 0 else (4 if B % 4 == 0 else 1)
+    while G > 1 and G * H * W * C * x.dtype.itemsize > 8 * 2**20:
+        G //= 2
 
-    def kernel(wy_ref, wx_ref, im_ref, out_ref):
+    def kernel(gy_ref, gx_ref, im_ref, out_ref):
+        ioy = jax.lax.broadcasted_iota(jnp.float32, (H, p_tile), 0)
+        iox = jax.lax.broadcasted_iota(jnp.float32, (W, p_tile), 0)
         for g in range(G):
-            wyt = wy_ref[g]                      # (H, PT)
-            wxt = wx_ref[g]                      # (W, PT)
+            # hat weights built in VMEM from the (1, PT) coordinate rows
+            wyt = jnp.maximum(0.0, 1.0 - jnp.abs(gy_ref[g:g + 1] - ioy))
+            wxt = jnp.maximum(0.0, 1.0 - jnp.abs(gx_ref[g:g + 1] - iox))
             im = im_ref[g]                       # (H*W, C) input dtype
             # (an iota-selector-matmul build of w2 was A/B-tested ~25%
             # slower than this broadcast build — tools/exp_gs_ab.py;
@@ -202,9 +217,9 @@ def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
         kernel,
         grid=(B // G, Pp // p_tile),
         in_specs=[
-            pl.BlockSpec((G, H, p_tile), lambda i, j: (i, 0, j),
+            pl.BlockSpec((G, p_tile), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, W, p_tile), lambda i, j: (i, 0, j),
+            pl.BlockSpec((G, p_tile), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, H * W, C), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -214,6 +229,7 @@ def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, Pp, C), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(wy.astype(jnp.float32), wx.astype(jnp.float32), xf)
+        interpret=interpret,
+    )(gy, gx, xf)
     out = out if Pp == P else out[:, :P]
     return out.reshape(B, Ho, Wo, C)

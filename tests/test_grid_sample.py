@@ -21,6 +21,43 @@ def test_mm_matches_gather(shape, oshape):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_fused_kernel_matches_mm_interpret(monkeypatch):
+    """The Pallas fused path (in-kernel hat-weight build) vs the mm
+    formulation, in interpret mode; multi-tile grid forced via _gs_tile."""
+    import ceigm_unet_tpu.ops.grid_sample as gs
+    rng = np.random.default_rng(2)
+    B, H, W, C = 8, 8, 8, 6
+    Ho = Wo = 16
+    x32 = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, (B, Ho, Wo, 2)), jnp.float32)
+
+    for dtype, rtol, atol in ((jnp.float32, 1e-5, 1e-5),
+                              (jnp.bfloat16, 3e-2, 3e-2)):
+        x = jnp.asarray(x32, dtype)
+        want = np.asarray(gs.grid_sample_bilinear_mm(x, grid), np.float32)
+        got = np.asarray(gs._gs_fused_impl(x, grid, interpret=True),
+                         np.float32)
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=atol,
+                                   err_msg=f"whole-P {dtype}")
+        # force the tiled path (2 output-pixel tiles per image)
+        monkeypatch.setattr(gs, "_gs_tile", lambda *a: Ho * Wo // 2)
+        got = np.asarray(gs._gs_fused_impl(x, grid, interpret=True),
+                         np.float32)
+        monkeypatch.undo()
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=atol,
+                                   err_msg=f"tiled {dtype}")
+
+
+def test_gs_tile_divisor():
+    from ceigm_unet_tpu.ops.grid_sample import _gs_tile
+    # finest DySample stage: 56x56 -> 112x112, whole-P scratch too big;
+    # the largest lane-aligned divisor of P=12544 under budget is 896
+    assert _gs_tile(56, 56, 112 * 112) == 896
+    # coarser stages fit whole-P
+    assert _gs_tile(28, 28, 56 * 56) == 56 * 56
+    assert _gs_tile(14, 14, 28 * 28) == 28 * 28
+
+
 def test_matches_torch():
     import torch
     rng = np.random.default_rng(1)
