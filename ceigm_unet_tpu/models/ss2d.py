@@ -188,6 +188,14 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
     return check_nan_inf("quad_pergroup.y", y)
 
 
+def _use_fuseproj() -> bool:
+    """Opt-in gate (CEIGM_FUSEPROJ=1): fuse the xc/z in-projections into
+    one >=128-lane GEMM at narrow stages. Measured via tools/exp_fuse_ab.py
+    before flipping the default."""
+    import os
+    return os.environ.get("CEIGM_FUSEPROJ", "0") == "1"
+
+
 def _use_planar() -> bool:
     """Opt-in gate for the v5 planar all-direction kernel
     (ops/quad_scan.py:sscan_planar_ln). Default OFF: the model-level A/B
@@ -430,11 +438,23 @@ class QuadGroupSS2D(nn.Module):
               for k in range(K)]),
             ((0, row_pad), (0, 0))).astype(self.dtype)
         xp = x.astype(self.dtype).reshape(B_ * L, C)
-        # two GEMMs (not one + lane slice): each output feeds a different
-        # consumer layout; slicing a fused GEMM output costs a relayout
         Dinw = Din + K * xc_pad             # xc width (== C when wide)
-        xc = (xp @ w_xc_bd).reshape(B_, L, Dinw)
-        z = nn.silu(xp @ w_z_bd)            # (B*L, Din + K*zpad)
+        if _use_fuseproj() and Din < 128 and not wide and zpad == 0:
+            # one N=2*Din GEMM: at Din < 128 the split GEMMs are skinny
+            # enough that XLA picks tokens-on-lanes emitters and copies
+            # the (B,H,W,C) input into a batch-minor layout per GEMM
+            # (r3 HLO: five 0.21 ms copies + reshapes at stage 1 alone);
+            # N >= 128 keeps the standard emitter. The two lane-slices
+            # of the fused output are the price — A/B via CEIGM_FUSEPROJ.
+            xz = xp @ jnp.concatenate([w_xc_bd, w_z_bd], axis=1)
+            xc = xz[:, :Dinw].reshape(B_, L, Dinw)
+            z = nn.silu(xz[:, Dinw:])
+        else:
+            # two GEMMs (not one + lane slice): each output feeds a
+            # different consumer layout; slicing a fused GEMM output
+            # costs a relayout
+            xc = (xp @ w_xc_bd).reshape(B_, L, Dinw)
+            z = nn.silu(xp @ w_z_bd)        # (B*L, Din + K*zpad)
 
         from ceigm_unet_tpu.models.layers import _DwParams
         dwp = _DwParams(self.d_conv, Din, use_bias=self.conv_bias,

@@ -28,6 +28,20 @@ def test_quadgroup_parity():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_quadgroup_fuseproj_equivalence(monkeypatch):
+    """CEIGM_FUSEPROJ fuses the xc/z in-projections into one GEMM —
+    identical math, must match the split-GEMM path exactly."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 32)).astype(np.float32))
+    m = QuadGroupSS2D(dim=32, scan_backend="auto")
+    params = m.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("CEIGM_FUSEPROJ", "0")
+    a = np.asarray(jax.jit(m.apply)(params, x))
+    monkeypatch.setenv("CEIGM_FUSEPROJ", "1")
+    b = np.asarray(jax.jit(m.apply)(params, x))
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)
+
+
 def test_ss2d_parity():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((2, 5, 7, 24)).astype(np.float32))
