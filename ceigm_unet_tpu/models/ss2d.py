@@ -166,10 +166,18 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
         *[jnp.pad(jnp.swapaxes(p.dt_projs_weight[k], 0, 1), cpad)
           for k in range(K)]
     ).astype(dtype)                                     # (K*R, K*Dw)
-    dt = (dts.reshape(B_ * L, K * R) @ wdt_bd).reshape(B_, L, K, Dw)
+    dt = dts.reshape(B_ * L, K * R) @ wdt_bd            # (B*L, K*Dw)
 
-    ut = jnp.swapaxes(xc.reshape(B_, L, K, Dw), 1, 2)   # (B, K, L, Dw)
-    dtt = jnp.swapaxes(dt, 1, 2)
+    if _use_pack():
+        # pallas pack: contiguous HBM in/out, lane slices in VMEM —
+        # replaces XLA's Dw-granular strided transpose copies
+        from ceigm_unet_tpu.ops.pack import pack_groups
+        interp = jax.default_backend() != "tpu"
+        ut = pack_groups(xc.reshape(B_, L, K * Dw), K, interp)
+        dtt = pack_groups(dt.reshape(B_, L, K * Dw), K, interp)
+    else:
+        ut = jnp.swapaxes(xc.reshape(B_, L, K, Dw), 1, 2)  # (B, K, L, Dw)
+        dtt = jnp.swapaxes(dt.reshape(B_, L, K, Dw), 1, 2)
     Bt = jnp.swapaxes(Bs, 1, 2)                          # (B, K, L)
     Ct = jnp.swapaxes(Cs, 1, 2)
 
@@ -186,6 +194,14 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
                       true_c=(D if Dw != D else None))
     from ceigm_unet_tpu.utils.debug import check_nan_inf
     return check_nan_inf("quad_pergroup.y", y)
+
+
+def _use_pack() -> bool:
+    """Opt-in gate (CEIGM_PACK=1): pallas pack/unpack kernels at the
+    quad-path group boundaries instead of XLA transposes (ops/pack.py).
+    Measured via tools/exp_fuse_ab.py CEIGM_PACK before flipping."""
+    import os
+    return os.environ.get("CEIGM_PACK", "0") == "1"
 
 
 def _use_fuseproj() -> bool:
@@ -506,7 +522,13 @@ class QuadGroupSS2D(nn.Module):
                                     dgw=(d_inner + xc_pad) if xc_pad
                                     else None)
                 # (B, K, L, dgw) normalized, pad lanes zero
-                yt = jnp.swapaxes(yk, 1, 2).reshape(B_ * L, Dinw)
+                if _use_pack():
+                    from ceigm_unet_tpu.ops.pack import unpack_groups
+                    yt = unpack_groups(
+                        yk, jax.default_backend() != "tpu"
+                    ).reshape(B_ * L, Dinw)
+                else:
+                    yt = jnp.swapaxes(yk, 1, 2).reshape(B_ * L, Dinw)
                 # wide: out-proj rows zero-padded per group, columns
                 # zero-padded to the wide output width (pads stay zero)
                 wout_bd = jnp.pad(jax.scipy.linalg.block_diag(
