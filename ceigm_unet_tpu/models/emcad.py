@@ -415,4 +415,9 @@ class EMCAD(nn.Module):
         p1 = nn.Conv(self.num_classes, (1, 1),
                      kernel_init=torch_linear_default(), dtype=self.dtype,
                      name="out_head1")(d1)
-        return bilinear_upsample(p1.astype(jnp.float32), 4)
+        # logits stay in the model compute dtype: an fp32 upcast BEFORE
+        # the 4x upsample materialized a 115 MB f32[B,224,224,9] plane
+        # plus a 0.4 ms XLA layout copy at the jit output boundary (r3
+        # HLO trace) without adding information (p1 is already compute-
+        # dtype). Losses/metrics upcast internally (losses.py:51).
+        return bilinear_upsample(p1, 4)
