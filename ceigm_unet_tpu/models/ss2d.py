@@ -155,18 +155,39 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
     cpad = ((0, 0), (0, Dw - D))
     xcf = xc.reshape(B_ * L, K * Dw)
 
-    wx_bd = jax.scipy.linalg.block_diag(
-        *[jnp.pad(jnp.swapaxes(p.x_proj_weight[k], 0, 1),
-                  ((0, Dw - D), (0, 0))) for k in range(K)]
-    ).astype(dtype)                                     # (K*Dw, K*(R+2))
-    x_dbl = (xcf @ wx_bd).reshape(B_, L, K, R + 2)
-    dts, Bs, Cs = x_dbl[..., :R], x_dbl[..., R], x_dbl[..., R + 1]
+    if _use_dtfuse():
+        # collapse the rank-R dt bottleneck at trace time (the planar
+        # path's trick, ss2d.py:_quad_planar): (x @ Wx_dt) @ Wdt ==
+        # x @ (Wx_dt @ Wdt) — removes the skinny N=K*R GEMM hop and its
+        # tokens-on-lanes input copy; the remaining B/C projection runs
+        # as a tiny N=2K GEMM. fp reassociation only (fp32 weight
+        # product at trace time; the dts intermediate is no longer
+        # rounded to the compute dtype).
+        wdt_full = jax.scipy.linalg.block_diag(
+            *[jnp.pad(jnp.swapaxes(p.x_proj_weight[k, :R], 0, 1)
+                      @ jnp.swapaxes(p.dt_projs_weight[k], 0, 1),
+                      ((0, Dw - D), (0, Dw - D))) for k in range(K)]
+        ).astype(dtype)                                 # (K*Dw, K*Dw)
+        dt = xcf @ wdt_full                             # (B*L, K*Dw)
+        wbc_bd = jax.scipy.linalg.block_diag(
+            *[jnp.pad(jnp.swapaxes(p.x_proj_weight[k, R:R + 2], 0, 1),
+                      ((0, Dw - D), (0, 0))) for k in range(K)]
+        ).astype(dtype)                                 # (K*Dw, 2K)
+        bc = (xcf @ wbc_bd).reshape(B_, L, K, 2)
+        Bs, Cs = bc[..., 0], bc[..., 1]
+    else:
+        wx_bd = jax.scipy.linalg.block_diag(
+            *[jnp.pad(jnp.swapaxes(p.x_proj_weight[k], 0, 1),
+                      ((0, Dw - D), (0, 0))) for k in range(K)]
+        ).astype(dtype)                                 # (K*Dw, K*(R+2))
+        x_dbl = (xcf @ wx_bd).reshape(B_, L, K, R + 2)
+        dts, Bs, Cs = x_dbl[..., :R], x_dbl[..., R], x_dbl[..., R + 1]
 
-    wdt_bd = jax.scipy.linalg.block_diag(
-        *[jnp.pad(jnp.swapaxes(p.dt_projs_weight[k], 0, 1), cpad)
-          for k in range(K)]
-    ).astype(dtype)                                     # (K*R, K*Dw)
-    dt = dts.reshape(B_ * L, K * R) @ wdt_bd            # (B*L, K*Dw)
+        wdt_bd = jax.scipy.linalg.block_diag(
+            *[jnp.pad(jnp.swapaxes(p.dt_projs_weight[k], 0, 1), cpad)
+              for k in range(K)]
+        ).astype(dtype)                                 # (K*R, K*Dw)
+        dt = dts.reshape(B_ * L, K * R) @ wdt_bd        # (B*L, K*Dw)
 
     if _use_pack():
         # pallas pack: contiguous HBM in/out, lane slices in VMEM —
@@ -194,6 +215,13 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
                       true_c=(D if Dw != D else None))
     from ceigm_unet_tpu.utils.debug import check_nan_inf
     return check_nan_inf("quad_pergroup.y", y)
+
+
+def _use_dtfuse() -> bool:
+    """Opt-in gate (CEIGM_DTFUSE=1): collapse the rank-R dt bottleneck
+    into one block-diagonal GEMM at trace time on the per-group path."""
+    import os
+    return os.environ.get("CEIGM_DTFUSE", "0") == "1"
 
 
 def _use_pack() -> bool:

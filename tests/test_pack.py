@@ -42,6 +42,21 @@ def test_lb_divisors():
     assert _lb(12544) == 896
 
 
+def test_quadgroup_dtfuse_equivalence(monkeypatch):
+    """CEIGM_DTFUSE collapses (x @ Wx_dt) @ Wdt into x @ (Wx_dt @ Wdt) —
+    fp reassociation only, must match the two-GEMM path to fp32 eps."""
+    from ceigm_unet_tpu.models.ss2d import QuadGroupSS2D
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 32)).astype(np.float32))
+    m = QuadGroupSS2D(dim=32, scan_backend="auto")
+    params = m.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("CEIGM_DTFUSE", "0")
+    a = np.asarray(jax.jit(m.apply)(params, x))
+    monkeypatch.setenv("CEIGM_DTFUSE", "1")
+    b = np.asarray(jax.jit(m.apply)(params, x))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5)
+
+
 def test_quadgroup_pack_equivalence(monkeypatch):
     from ceigm_unet_tpu.models.ss2d import QuadGroupSS2D
     rng = np.random.default_rng(7)
