@@ -27,3 +27,9 @@ timeout 2400 python tools/trace_attr.py model
 
 # 5. batch sweep — fixed overheads argue for >64
 timeout 2400 python tools/exp_batch.py 64 96 128
+
+# 6. combined winners (flags compose independently; re-check jointly
+#    before flipping defaults, then re-bench with the winning set)
+CEIGM_FUSEPROJ=1 CEIGM_PACK=1 CEIGM_DTFUSE=1 \
+    timeout 2400 python tools/exp_fuse_ab.py CEIGM_NOOP_SENTINEL || true
+CEIGM_FUSEPROJ=1 CEIGM_PACK=1 CEIGM_DTFUSE=1 timeout 1800 python bench.py
