@@ -28,8 +28,16 @@ timeout 2400 python tools/trace_attr.py model
 # 5. batch sweep — fixed overheads argue for >64
 timeout 2400 python tools/exp_batch.py 64 96 128
 
+# 5b. kernel-matrix TPU spot-run (record in docs/STATUS.md — r2 verdict
+#     item 6 wants the production-shape matrix spot-checked on hardware)
+timeout 2400 python tools/spot_kernel_tpu.py || true
+
 # 6. combined winners (flags compose independently; re-check jointly
 #    before flipping defaults, then re-bench with the winning set)
 CEIGM_FUSEPROJ=1 CEIGM_PACK=1 CEIGM_DTFUSE=1 \
     timeout 2400 python tools/exp_fuse_ab.py CEIGM_NOOP_SENTINEL || true
 CEIGM_FUSEPROJ=1 CEIGM_PACK=1 CEIGM_DTFUSE=1 timeout 1800 python bench.py
+
+# 7. round-status numbers: training step + 512-squared inference
+timeout 2400 python tools/bench_train.py || true
+timeout 2400 python tools/bench_512.py || true
