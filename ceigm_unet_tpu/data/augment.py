@@ -55,6 +55,12 @@ def _apply_affine(img: np.ndarray, mat: np.ndarray, order: int) -> np.ndarray:
     # scipy works in (row, col) = (y, x): swap
     m = np.array([[inv[1, 1], inv[1, 0]], [inv[0, 1], inv[0, 0]]])
     off = np.array([inv[1, 2], inv[0, 2]])
+    from ceigm_unet_tpu import native
+    if native.available():
+        # single-pass C++ warp, scipy 'constant' semantics (tested
+        # against the scipy path in tests/test_native_aug.py)
+        return native.affine_warp(np.asarray(img, np.float32), m, off,
+                                  order)
     return ndimage.affine_transform(img, m, offset=off, order=order,
                                     mode="constant", cval=0.0,
                                     output=np.float32)
@@ -132,6 +138,27 @@ def piecewise_affine_warp(img, lab, points_src, points_dst):
     from scipy.spatial import Delaunay
     h, w = img.shape
     tri = Delaunay(points_src)
+
+    from ceigm_unet_tpu import native
+    if native.available() and tri.nsimplex <= 256:
+        # fused C++ pass: per-pixel triangle location + affine + sampling
+        # of image (order 1) and label (order 0) together. The per-
+        # triangle affines are solved here exactly as the numpy branch
+        # solves them (batched np.linalg.solve over the same vertex
+        # systems), so both branches evaluate identical maps.
+        v = tri.simplices                                   # (ns, 3)
+        src = points_src[v]                                 # (ns, 3, 2)
+        dst = points_dst[v]
+        M = np.concatenate([src, np.ones((tri.nsimplex, 3, 1))], axis=2)
+        AB = np.linalg.solve(M, dst)                        # (ns, 3, 2)
+        aff = np.stack([AB[:, 0, 0], AB[:, 1, 0], AB[:, 2, 0],
+                        AB[:, 0, 1], AB[:, 1, 1], AB[:, 2, 1]], axis=1)
+        verts = src.reshape(tri.nsimplex, 6)
+        wi, wl = native.piecewise_warp(np.asarray(img, np.float32),
+                                       np.asarray(lab, np.float32),
+                                       aff, verts)
+        return wi, wl
+
     yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     pix = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.float64)
     # tol: hull-edge pixels (x=0 / y=0 rows lie exactly on boundary

@@ -29,11 +29,11 @@ def _read_list(list_dir: str, split: str) -> list[str]:
 
 
 def _zoom_pair(image, label, size):
-    from scipy.ndimage import zoom
+    from ceigm_unet_tpu.ops.resize import zoom_host
     h, w = image.shape
     if h != size or w != size:
-        image = zoom(image, (size / h, size / w), order=3)
-        label = zoom(label, (size / h, size / w), order=0)
+        image = zoom_host(image, (size, size), order=3)
+        label = zoom_host(label, (size, size), order=0)
     return image, label
 
 
@@ -41,8 +41,11 @@ def make_label_pyramid(label: np.ndarray, scales) -> list:
     """Deep-supervision label pyramid (reference resize_mask /
     deep_supervision_scales, dataset_synapse.py:14-16,108-109):
     order-0 zoom of the label at each scale."""
-    from scipy.ndimage import zoom
-    return [label if tuple(s) == (1, 1) else zoom(label, s, order=0)
+    from ceigm_unet_tpu.ops.resize import zoom_host
+    h, w = label.shape
+    return [label if tuple(s) == (1, 1)
+            else zoom_host(label, (round(h * s[0]), round(w * s[1])),
+                           order=0)
             for s in scales]
 
 

@@ -14,10 +14,11 @@ ANY worker scheduling — threads, processes, or in-line (a determinism
 improvement over the reference's per-worker RNG state).
 
 Measured (tools/bench_loader.py, 512^2 Synapse-shaped slices): decode +
-full aug policy + order-3 zoom = ~117 ms/sample/core; saturating the r1
-fp32 b48 train step (588 ms) needs ~10 cores. On few-core hosts route
-training through the on-device augmentation tier (data/device_aug.py)
-instead.
+full aug policy + order-3 zoom = ~17 ms/sample/core with the native
+warp/resize tier (ceigm_unet_tpu/native, default when g++ is present;
+~55 ms/sample pure numpy/scipy) — ~1.4 cores saturate the r1 fp32 b48
+train step. On very-few-core hosts route training through the on-device
+augmentation tier (data/device_aug.py) instead.
 """
 from __future__ import annotations
 

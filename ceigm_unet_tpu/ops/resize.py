@@ -57,6 +57,71 @@ def nearest_index_map(in_size: int, out_size: int):
     return np.argmax(m, axis=1).astype(np.int32), valid
 
 
+@functools.lru_cache(maxsize=128)
+def zoom_band(in_size: int, out_size: int, order: int = 3,
+              taps: int = 0, thresh: float = 1e-7):
+    """Banded form of :func:`zoom_matrix`: (starts int32 (out,),
+    weights float32 (out, taps), taps). Rows of the cubic-zoom operator
+    decay as |sqrt(3)-2|^d, so truncating below ``thresh`` keeps a
+    ~24-tap band and reproduces the dense operator to ~1e-7. ``taps``
+    overrides the natural band width (it must be >= it; used to equalize
+    the two axes of one resize)."""
+    m = zoom_matrix(in_size, out_size, order).astype(np.float32)
+    m = np.where(np.abs(m) > thresh, m, 0.0)
+    widths = []
+    firsts = []
+    for r in m:
+        nzi = np.nonzero(r)[0]
+        if nzi.size == 0:
+            firsts.append(0)
+            widths.append(1)
+        else:
+            firsts.append(int(nzi.min()))
+            widths.append(int(nzi.max() - nzi.min() + 1))
+    natural = min(max(widths), in_size)
+    if taps:
+        assert natural <= taps <= in_size, (natural, taps, in_size)
+    else:
+        taps = natural
+    starts = np.minimum(np.asarray(firsts, np.int64),
+                        in_size - taps).astype(np.int32)
+    weights = np.zeros((out_size, taps), np.float32)
+    for o in range(out_size):
+        weights[o] = m[o, starts[o]:starts[o] + taps]
+    return starts, weights, taps
+
+
+def zoom_host(img: np.ndarray, out_hw: Tuple[int, int],
+              order: int = 3) -> np.ndarray:
+    """Host-side (numpy in / numpy out) scipy-parity zoom of one 2-D
+    slice. order 0 -> exact nearest gather; order >= 1 -> the exact
+    extracted operator, applied by the native banded kernel when
+    available, else scipy itself. Used by the data loader's hot path."""
+    from scipy.ndimage import zoom as _zoom
+    H, W = img.shape
+    Ho, Wo = out_hw
+    if (H, W) == (Ho, Wo):
+        return np.asarray(img, np.float32)
+    if order == 0:
+        ih, vh = nearest_index_map(H, Ho)
+        iw, vw = nearest_index_map(W, Wo)
+        out = np.asarray(img, np.float32)[ih][:, iw]
+        if not (vh.all() and vw.all()):
+            out = out * np.outer(vh, vw)
+        return out
+    from ceigm_unet_tpu import native
+    if native.available():
+        _, _, ty = zoom_band(H, Ho, order)
+        _, _, tx = zoom_band(W, Wo, order)
+        t = max(ty, tx)
+        if t <= H and t <= W:
+            ys, yw, _ = zoom_band(H, Ho, order, taps=t)
+            xs, xw, _ = zoom_band(W, Wo, order, taps=t)
+            return native.sep_resize(img, ys, yw, xs, xw, t)
+    return _zoom(np.asarray(img, np.float32), (Ho / H, Wo / W),
+                 order=order).astype(np.float32)
+
+
 def zoom_slices(x: jnp.ndarray, out_hw: Tuple[int, int],
                 order: int = 3) -> jnp.ndarray:
     """Batched exact zoom of (..., H, W) slices to (..., H', W')."""

@@ -108,6 +108,15 @@ def run_training(cfg: TrainConfig, train_ds, val_volumes=None,
     batch_stats and continues from the saved epoch (the capability
     Lightning's ``fit(ckpt_path=...)`` provides but the reference leaves
     unused, train_synapse.py:223)."""
+    # persistent compile cache (same policy as bench.py): a repeated run
+    # of an unchanged model skips the multi-minute train-step compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     logger = logger or setup_logger(cfg.log_dir, cfg.name)
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     model = build_model(num_classes=cfg.num_classes, enc_name=cfg.enc_name,

@@ -19,7 +19,7 @@ import numpy as np
 
 def main():
     from ceigm_unet_tpu.data.augment import augment_seg
-    from scipy.ndimage import zoom
+    from ceigm_unet_tpu.ops.resize import zoom_host
 
     rng = np.random.default_rng(0)
     n = 32
@@ -36,8 +36,8 @@ def main():
         img, lab = augment_seg(rng, img, lab)
         h, w = img.shape
         if (h, w) != (224, 224):
-            img = zoom(img, (224 / h, 224 / w), order=3)
-            lab = zoom(lab, (224 / h, 224 / w), order=0)
+            img = zoom_host(img, (224, 224), order=3)
+            lab = zoom_host(lab, (224, 224), order=0)
     dt = time.perf_counter() - t0
     per = dt / n
     print(f"cores: {os.cpu_count()}")
