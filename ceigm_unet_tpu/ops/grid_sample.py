@@ -122,11 +122,15 @@ def grid_sample_bilinear_fused(x: jnp.ndarray, grid: jnp.ndarray,
     the custom VJP differentiates the mm formulation (bf16 training
     path).
     """
+    import os
     B, H, W, C = x.shape
     # fused path only for the bf16 perf regime (MXU fp32 matmuls truncate
-    # to bf16 passes; fp32 callers keep the full-precision mm path)
+    # to bf16 passes; fp32 callers keep the full-precision mm path).
+    # CEIGM_GS_FUSED=0 is the escape hatch back to the XLA mm path
+    # (bench.py retries with it if the kernel fails to lower).
     if (jax.default_backend() != "tpu" or x.dtype != jnp.bfloat16
-            or H * W * C * x.dtype.itemsize > 2**22):
+            or H * W * C * x.dtype.itemsize > 2**22
+            or os.environ.get("CEIGM_GS_FUSED", "1") == "0"):
         return grid_sample_bilinear_mm(x, grid)
     return _gs_fused(x, grid, p_tile)
 
