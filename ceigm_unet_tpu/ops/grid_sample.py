@@ -195,8 +195,11 @@ def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
         G //= 2
 
     def kernel(gy_ref, gx_ref, im_ref, out_ref):
-        ioy = jax.lax.broadcasted_iota(jnp.float32, (H, p_tile), 0)
-        iox = jax.lax.broadcasted_iota(jnp.float32, (W, p_tile), 0)
+        # int32 iota + convert: Mosaic rejects float-typed tpu.iota
+        ioy = jax.lax.broadcasted_iota(
+            jnp.int32, (H, p_tile), 0).astype(jnp.float32)
+        iox = jax.lax.broadcasted_iota(
+            jnp.int32, (W, p_tile), 0).astype(jnp.float32)
         for g in range(G):
             # hat weights built in VMEM from the (1, PT) coordinate rows
             wyt = jnp.maximum(0.0, 1.0 - jnp.abs(gy_ref[g:g + 1] - ioy))
