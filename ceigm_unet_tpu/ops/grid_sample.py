@@ -107,6 +107,38 @@ def grid_sample_bilinear_mm(x: jnp.ndarray, grid: jnp.ndarray,
     return out.reshape(B, Ho, Wo, C)
 
 
+def _band_tile(Ho: int, Wo: int, H: int):
+    """Output-row tile T for the banded 2x kernel, or None when no valid
+    tiling exists / banding would not pay. Constraints: T even (so a tile
+    of output rows [jT, (j+1)T) maps to the input rows [jT/2, jT/2+T/2)
+    plus the wobble margin), T*Wo a multiple of 128 (Mosaic lane tiling
+    of the (B, P) blocks), the f32 (bandH*W, T*Wo) weight tile within the
+    VMEM budget, and the band at most half the input height (otherwise
+    the dense kernel is as good). When T does not divide Ho the output is
+    row-padded to ceil(Ho/T)*T and sliced (the real 28->56 decoder stage
+    has NO lane-aligned divisor tile: 56*T % 128 == 0 forces T=16, 3.5
+    tiles -> 4). Cost model: compute scales with bandH = T//2 + 6 times
+    the row-pad factor, plus a per-grid-step overhead term (~1-2 us/step;
+    0.25/tile calibrated on the 512sq d1 shape where T=8 measured 0.56 ms
+    vs T=4's 0.65 — tools/exp_gs_band.py); pick the minimum.
+    CEIGM_GS_BANDT overrides for hardware A/Bs."""
+    import os
+    forced = int(os.environ.get("CEIGM_GS_BANDT", "0"))
+    W = Wo // 2
+    best, best_cost = None, None
+    for T in ((forced,) if forced else range(4, Ho + 1, 2)):
+        bandH = T // 2 + 6
+        n_t = -(-Ho // T)
+        if not (T % 2 == 0 and T <= Ho and (T * Wo) % 128 == 0
+                and 2 * bandH <= H
+                and bandH * W * T * Wo * 4 <= 12 * 2**20):
+            continue
+        cost = bandH * (n_t * T) / Ho + 0.25 * n_t
+        if best is None or cost < best_cost:
+            best, best_cost = T, cost
+    return best
+
+
 def grid_sample_bilinear_fused(x: jnp.ndarray, grid: jnp.ndarray,
                                p_tile: int = 512) -> jnp.ndarray:
     """Pallas-fused version of :func:`grid_sample_bilinear_mm`.
@@ -132,6 +164,10 @@ def grid_sample_bilinear_fused(x: jnp.ndarray, grid: jnp.ndarray,
             or H * W * C * x.dtype.itemsize > 2**22
             or os.environ.get("CEIGM_GS_FUSED", "1") == "0"):
         return grid_sample_bilinear_mm(x, grid)
+    Ho, Wo = grid.shape[1], grid.shape[2]
+    if (Ho == 2 * H and Wo == 2 * W and _band_tile(Ho, Wo, H)
+            and os.environ.get("CEIGM_GS_BAND", "1") == "1"):
+        return _gs_banded(x, grid)
     return _gs_fused(x, grid, p_tile)
 
 
@@ -238,5 +274,119 @@ def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(gy, gx, xf)
+    out = out if Pp == P else out[:, :P]
+    return out.reshape(B, Ho, Wo, C)
+
+
+# ---------------------------------------------------------------------------
+# Banded variant for the 2x DySample regime.
+#
+# DySample's sample coordinates stay LOCAL to the nominal 2x grid: for
+# output row oy the pixel y coordinate is oy//2 + sin(pi*(h+1)/H) [0,1]
+# + init_pos (+-0.25) - 0.5 + learned/groups, i.e. within
+# (-0.75, +0.75) + learned of oy//2 (reference best_decoder.py:385-394).
+# The dense kernel above contracts every output pixel against ALL H*W
+# input pixels; here each tile of T output rows contracts only against
+# its input band of T//2 + 6 rows — an H/(T//2+6)x cut in both the
+# hat-weight build and the MXU contraction. With the band anchored at
+# oy//2 - 2 this is EXACT whenever the learned per-group offsets stay in
+# (-1.25, +3.25) px — they are O(1e-2) in trained nets (init std 1e-3,
+# best_decoder.py:371-377). Coordinates beyond the band are clamped to
+# its edge, the banded analogue of the op's own border clamp.
+# CEIGM_GS_BAND=0 falls back to the dense kernel.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _gs_banded(x, grid):
+    return _gs_banded_fwd(x, grid)[0]
+
+
+def _gs_banded_fwd(x, grid):
+    return _gs_banded_impl(x, grid), (x, grid)
+
+
+def _gs_banded_bwd(res, ct):
+    x, grid = res
+    _, vjp = jax.vjp(grid_sample_bilinear_mm, x, grid)
+    return vjp(ct)
+
+
+_gs_banded.defvjp(_gs_banded_fwd, _gs_banded_bwd)
+
+
+def _gs_banded_impl(x: jnp.ndarray, grid: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = x.shape
+    Ho, Wo = grid.shape[1], grid.shape[2]
+    P = Ho * Wo
+    T = _band_tile(Ho, Wo, H)
+    bandH = T // 2 + 6
+    p_tile = T * Wo
+    n_t = -(-Ho // T)                   # row-padded when T doesn't divide
+    Pp = n_t * p_tile
+    gx = (grid[..., 0].astype(jnp.float32) + 1.0) * W / 2.0 - 0.5
+    gy = (grid[..., 1].astype(jnp.float32) + 1.0) * H / 2.0 - 0.5
+    gx = jnp.clip(gx, 0.0, W - 1.0).reshape(B, P)
+    gy = jnp.clip(gy, 0.0, H - 1.0).reshape(B, P)
+    if Pp != P:
+        # padded output rows: pad coords sample pixel 0, clamped into the
+        # last tile's band in-kernel; the rows are sliced off below
+        gx = jnp.pad(gx, ((0, 0), (0, Pp - P)))
+        gy = jnp.pad(gy, ((0, 0), (0, Pp - P)))
+    xf = x.reshape(B, H * W, C)
+
+    G = 8 if B % 8 == 0 else (4 if B % 4 == 0 else 1)
+    while G > 1 and G * bandH * W * C * x.dtype.itemsize > 8 * 2**20:
+        G //= 2
+
+    # pre-gathered (overlapping) input bands: static slices, ~1.3x one
+    # image pass of HBM traffic — removes any dynamic sublane slicing
+    # from the kernel (alignment-hazard-free)
+    starts = [min(max(j * (T // 2) - 2, 0), H - bandH) for j in range(n_t)]
+    xb = jnp.stack([xf[:, y0 * W:(y0 + bandH) * W] for y0 in starts],
+                   axis=1)                      # (B, n_t, bandH*W, C)
+
+    def kernel(gy_ref, gx_ref, im_ref, out_ref):
+        j = pl.program_id(1)
+        # input band start for output rows [j*T, (j+1)*T)
+        y0 = jnp.clip(j * (T // 2) - 2, 0, H - bandH)
+        ioy = (jax.lax.broadcasted_iota(jnp.int32, (bandH, p_tile), 0)
+               + y0).astype(jnp.float32)
+        iox = jax.lax.broadcasted_iota(
+            jnp.int32, (W, p_tile), 0).astype(jnp.float32)
+        y0f = y0.astype(jnp.float32)
+        for g in range(G):
+            gyt = jnp.clip(gy_ref[g:g + 1], y0f, y0f + bandH - 1)
+            wyt = jnp.maximum(0.0, 1.0 - jnp.abs(gyt - ioy))
+            wxt = jnp.maximum(0.0, 1.0 - jnp.abs(gx_ref[g:g + 1] - iox))
+            w2 = (wyt[:, None, :] * wxt[None, :, :]).reshape(bandH * W, -1)
+            im = im_ref[g]                      # (bandH*W, C)
+            o = jax.lax.dot_general(w2.astype(im.dtype), im,
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out_ref[g] = o.astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // G, n_t),
+        in_specs=[
+            pl.BlockSpec((G, p_tile), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, p_tile), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, None, bandH * W, C), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, p_tile, C), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Pp, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(gy, gx, xb)
     out = out if Pp == P else out[:, :P]
     return out.reshape(B, Ho, Wo, C)

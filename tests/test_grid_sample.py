@@ -58,6 +58,70 @@ def test_gs_tile_divisor():
     assert _gs_tile(14, 14, 28 * 28) == 28 * 28
 
 
+def test_band_tile():
+    from ceigm_unet_tpu.ops.grid_sample import _band_tile
+    # the real finest 224-squared DySample stage (eucb1, 28 -> 56): no
+    # lane-aligned divisor tile exists; T=16 with row padding (3.5 -> 4
+    # tiles) is the only candidate
+    assert _band_tile(56, 56, 28) == 16
+    # mid stage (14 -> 28): band >= half the input height, not worth it
+    assert _band_tile(28, 28, 14) is None
+    # 512-squared stages
+    assert _band_tile(128, 128, 64) == 8     # d1 (64 -> 128), measured
+    assert _band_tile(64, 64, 32) == 4       # d2 (32 -> 64)
+
+
+def _dysample_like_grid(rng, B, H, W, wobble=0.75):
+    """Normalized 2x grid whose pixel coords are oy//2 (ox//2) plus a
+    bounded wobble — the DySample coordinate structure the banded kernel
+    is specialized for."""
+    Ho, Wo = 2 * H, 2 * W
+    oy = np.arange(Ho)[None, :, None] // 2
+    ox = np.arange(Wo)[None, None, :] // 2
+    py = oy + rng.uniform(-wobble, wobble, (B, Ho, Wo))
+    px = ox + rng.uniform(-wobble, wobble, (B, Ho, Wo))
+    gy = (2.0 * py + 1.0) / H - 1.0
+    gx = (2.0 * px + 1.0) / W - 1.0
+    return jnp.asarray(np.stack([gx, gy], -1), jnp.float32)
+
+
+@pytest.mark.parametrize("B,H,W,C,T", [(8, 32, 32, 5, 4),
+                                       (4, 28, 28, 32, 16)])
+def test_banded_kernel_matches_mm_interpret(B, H, W, C, T):
+    """The banded Pallas path vs the exact mm formulation on an in-band
+    DySample-style grid (interpret mode, CPU). The second case is the
+    real eucb1 geometry (28 -> 56), which exercises the row-padded
+    tiling (T=16, 3.5 -> 4 tiles + output slice)."""
+    import ceigm_unet_tpu.ops.grid_sample as gs
+    rng = np.random.default_rng(3)
+    assert gs._band_tile(2 * H, 2 * W, H) == T
+    x32 = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    grid = _dysample_like_grid(rng, B, H, W)
+    for dtype, rtol, atol in ((jnp.float32, 1e-5, 1e-5),
+                              (jnp.bfloat16, 3e-2, 3e-2)):
+        x = jnp.asarray(x32, dtype)
+        want = np.asarray(gs.grid_sample_bilinear_mm(x, grid), np.float32)
+        got = np.asarray(gs._gs_banded_impl(x, grid, interpret=True),
+                         np.float32)
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=atol,
+                                   err_msg=f"banded {dtype}")
+
+
+def test_banded_kernel_out_of_band_clamps():
+    """Coordinates beyond the band must clamp to its edge (never read
+    garbage): with a huge wobble the result still lies within the global
+    min/max of the input image."""
+    import ceigm_unet_tpu.ops.grid_sample as gs
+    rng = np.random.default_rng(4)
+    B, H, W, C = 8, 32, 32, 4
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    grid = _dysample_like_grid(rng, B, H, W, wobble=20.0)
+    out = np.asarray(gs._gs_banded_impl(x, grid, interpret=True))
+    assert np.all(np.isfinite(out))
+    assert out.max() <= float(x.max()) + 1e-5
+    assert out.min() >= float(x.min()) - 1e-5
+
+
 def test_matches_torch():
     import torch
     rng = np.random.default_rng(1)
