@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from ceigm_unet_tpu.models.layers import channel_shuffle, bilinear_upsample
 from ceigm_unet_tpu.models.groupmamba import BlockMamba
-from ceigm_unet_tpu.ops.grid_sample import grid_sample_bilinear_fused
+from ceigm_unet_tpu.ops.grid_sample import dysample_grid_sample
 from ceigm_unet_tpu.utils.initializers import normal, torch_linear_default
 
 
@@ -312,13 +312,10 @@ class DySample(nn.Module):
         gy = shuffle(cy)
         grid = jnp.stack([gx, gy], axis=-1)  # (B, Hs, Ws, g, 2)
 
-        # sample each of g consecutive channel groups with its own grid
-        xg = x.reshape(B, H, W, g, C // g)
-        xg = xg.transpose(0, 3, 1, 2, 4).reshape(B * g, H, W, C // g)
-        gg = grid.transpose(0, 3, 1, 2, 4).reshape(B * g, H * s, W * s, 2)
-        out = grid_sample_bilinear_fused(xg, gg)
-        out = out.reshape(B, g, H * s, W * s, C // g)
-        out = out.transpose(0, 2, 3, 1, 4).reshape(B, H * s, W * s, C)
+        # sample each of g consecutive channel groups with its own grid;
+        # on the banded TPU path the group loop runs inside the kernel
+        # (no regroup transposes), else it regroups + samples per group
+        out = dysample_grid_sample(x, grid)
 
         return EUCB2(in_channels=C, out_channels=self.out_channels,
                      dtype=self.dtype, name="eu")(out, train)

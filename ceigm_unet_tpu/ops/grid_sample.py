@@ -297,6 +297,148 @@ def _gs_fused_impl(x: jnp.ndarray, grid: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def dysample_grid_sample(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Grouped DySample sampling: x (B, H, W, C), grid (B, Ho, Wo, g, 2)
+    with one grid per consecutive channel group (reference
+    best_decoder.py:395-403 view/repeat machinery). Returns
+    (B, Ho, Wo, C).
+
+    On the banded TPU path the group loop runs INSIDE the kernel (stacked
+    per-group hat weights against a group-masked block-diagonal image
+    tile, one MXU dot per image with full C lanes), so the caller-side
+    (B,H,W,C)->(B*g,H,W,C/g) regroup transposes and the output regroup
+    (0.53 + 0.18 ms at b64 on the finest stage, r3 trace) disappear.
+    Falls back to the regroup + per-group sampler composition elsewhere.
+    """
+    import os
+    B, H, W, C = x.shape
+    Ho, Wo, g = grid.shape[1], grid.shape[2], grid.shape[3]
+    if (jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
+            and Ho == 2 * H and Wo == 2 * W and C % g == 0
+            and _band_tile(Ho, Wo, H)
+            and os.environ.get("CEIGM_GS_BAND", "1") == "1"
+            and os.environ.get("CEIGM_GS_GROUP", "1") == "1"):
+        return _gs_banded_groups(x, grid)
+    return _dysample_ref(x, grid)
+
+
+def _dysample_ref(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Regroup + per-group sampler composition (differentiable; the
+    per-group sampler picks its own fused/banded/mm path)."""
+    B, H, W, C = x.shape
+    Ho, Wo, g = grid.shape[1], grid.shape[2], grid.shape[3]
+    cg = C // g
+    xg = x.reshape(B, H, W, g, cg).transpose(0, 3, 1, 2, 4)
+    xg = xg.reshape(B * g, H, W, cg)
+    gg = grid.transpose(0, 3, 1, 2, 4).reshape(B * g, Ho, Wo, 2)
+    out = grid_sample_bilinear_fused(xg, gg)
+    out = out.reshape(B, g, Ho, Wo, cg).transpose(0, 2, 3, 1, 4)
+    return out.reshape(B, Ho, Wo, C)
+
+
+@jax.custom_vjp
+def _gs_banded_groups(x, grid):
+    return _gs_banded_groups_fwd(x, grid)[0]
+
+
+def _gs_banded_groups_fwd(x, grid):
+    return _gs_banded_groups_impl(x, grid), (x, grid)
+
+
+def _gs_banded_groups_bwd(res, ct):
+    x, grid = res
+    _, vjp = jax.vjp(_dysample_ref, x, grid)
+    return vjp(ct)
+
+
+_gs_banded_groups.defvjp(_gs_banded_groups_fwd, _gs_banded_groups_bwd)
+
+
+def _gs_banded_groups_impl(x: jnp.ndarray, grid: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = x.shape
+    Ho, Wo, g = grid.shape[1], grid.shape[2], grid.shape[3]
+    Cg = C // g
+    P = Ho * Wo
+    T = _band_tile(Ho, Wo, H)
+    bandH = T // 2 + 6
+    p_tile = T * Wo
+    n_t = -(-Ho // T)
+    Pp = n_t * p_tile
+    # (B, Ho, Wo, g) -> (B, g, P) pixel coords (small f32 transposes)
+    gx = (grid[..., 0].astype(jnp.float32) + 1.0) * W / 2.0 - 0.5
+    gy = (grid[..., 1].astype(jnp.float32) + 1.0) * H / 2.0 - 0.5
+    gx = jnp.clip(gx, 0.0, W - 1.0).transpose(0, 3, 1, 2).reshape(B, g, P)
+    gy = jnp.clip(gy, 0.0, H - 1.0).transpose(0, 3, 1, 2).reshape(B, g, P)
+    if Pp != P:
+        gx = jnp.pad(gx, ((0, 0), (0, 0), (0, Pp - P)))
+        gy = jnp.pad(gy, ((0, 0), (0, 0), (0, Pp - P)))
+
+    xf = x.reshape(B, H * W, C)
+    starts = [min(max(j * (T // 2) - 2, 0), H - bandH) for j in range(n_t)]
+    xb = jnp.stack([xf[:, y0 * W:(y0 + bandH) * W] for y0 in starts],
+                   axis=1)                      # (B, n_t, bandH*W, C)
+
+    G = 8 if B % 8 == 0 else (4 if B % 4 == 0 else 1)
+    # bound by the per-image stacked W2 (bf16) + masked image tiles:
+    # Mosaic can keep all G iterations' scratch live (512sq lesson)
+    while G > 1 and G * (g * bandH * W * (p_tile + C) * 2) > 40 * 2**20:
+        G //= 2
+
+    def kernel(gy_ref, gx_ref, im_ref, out_ref):
+        j = pl.program_id(1)
+        y0 = jnp.clip(j * (T // 2) - 2, 0, H - bandH)
+        ioy = (jax.lax.broadcasted_iota(jnp.int32, (bandH, p_tile), 0)
+               + y0).astype(jnp.float32)
+        iox = jax.lax.broadcasted_iota(
+            jnp.int32, (W, p_tile), 0).astype(jnp.float32)
+        gidx = jax.lax.broadcasted_iota(
+            jnp.int32, (bandH * W, C), 1) // Cg
+        y0f = y0.astype(jnp.float32)
+        for gi in range(G):
+            im = im_ref[gi]                     # (bandH*W, C)
+            w2s, ims = [], []
+            for gg in range(g):
+                gyt = jnp.clip(gy_ref[gi, gg:gg + 1], y0f,
+                               y0f + bandH - 1)
+                wyt = jnp.maximum(0.0, 1.0 - jnp.abs(gyt - ioy))
+                wxt = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(gx_ref[gi, gg:gg + 1] - iox))
+                w2 = (wyt[:, None, :] * wxt[None, :, :]).reshape(
+                    bandH * W, p_tile)
+                w2s.append(w2.astype(im.dtype))
+                ims.append(jnp.where(gidx == gg, im, 0))
+            W2 = jnp.concatenate(w2s, 0)        # (g*bandH*W, p_tile)
+            IM = jnp.concatenate(ims, 0)        # (g*bandH*W, C) blockdiag
+            o = jax.lax.dot_general(W2, IM, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            out_ref[gi] = o.astype(out_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // G, n_t),
+        in_specs=[
+            pl.BlockSpec((G, g, p_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, g, p_tile), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, None, bandH * W, C), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, p_tile, C), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Pp, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(gy, gx, xb)
+    out = out if Pp == P else out[:, :P]
+    return out.reshape(B, Ho, Wo, C)
+
+
 @jax.custom_vjp
 def _gs_banded(x, grid):
     return _gs_banded_fwd(x, grid)[0]

@@ -107,6 +107,52 @@ def test_banded_kernel_matches_mm_interpret(B, H, W, C, T):
                                    err_msg=f"banded {dtype}")
 
 
+def test_grouped_banded_kernel_matches_ref_interpret():
+    """The group-fused banded kernel vs the regroup + mm composition at
+    the real eucb1 geometry (28 -> 56, C=128, g=4; T=16 row-padded)."""
+    import ceigm_unet_tpu.ops.grid_sample as gs
+    rng = np.random.default_rng(5)
+    B, H, W, C, g = 4, 28, 28, 128, 4
+    x32 = rng.standard_normal((B, H, W, C)).astype(np.float32)
+    grids = np.stack([np.asarray(_dysample_like_grid(rng, B, H, W))
+                      for _ in range(g)], axis=3)     # (B, Ho, Wo, g, 2)
+    grid = jnp.asarray(grids, jnp.float32)
+
+    def ref(x):
+        cg = C // g
+        xg = x.reshape(B, H, W, g, cg).transpose(0, 3, 1, 2, 4)
+        xg = xg.reshape(B * g, H, W, cg)
+        gg = grid.transpose(0, 3, 1, 2, 4).reshape(B * g, 2 * H, 2 * W, 2)
+        out = gs.grid_sample_bilinear_mm(xg, gg)
+        return out.reshape(B, g, 2 * H, 2 * W, cg).transpose(
+            0, 2, 3, 1, 4).reshape(B, 2 * H, 2 * W, C)
+
+    for dtype, rtol, atol in ((jnp.float32, 1e-5, 1e-5),
+                              (jnp.bfloat16, 3e-2, 3e-2)):
+        x = jnp.asarray(x32, dtype)
+        want = np.asarray(ref(x), np.float32)
+        got = np.asarray(gs._gs_banded_groups_impl(x, grid, interpret=True),
+                         np.float32)
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=atol,
+                                   err_msg=f"grouped banded {dtype}")
+
+
+def test_grouped_banded_odd_group_width():
+    """Cg that is not lane-aligned (eucb2's 87) must still mask exactly."""
+    import ceigm_unet_tpu.ops.grid_sample as gs
+    rng = np.random.default_rng(6)
+    B, H, W, g, cg = 2, 32, 32, 4, 5
+    C = g * cg
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    grids = np.stack([np.asarray(_dysample_like_grid(rng, B, H, W))
+                      for _ in range(g)], axis=3)
+    grid = jnp.asarray(grids, jnp.float32)
+    want = np.asarray(gs._dysample_ref(x, grid), np.float32)
+    got = np.asarray(gs._gs_banded_groups_impl(x, grid, interpret=True),
+                     np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_banded_kernel_out_of_band_clamps():
     """Coordinates beyond the band must clamp to its edge (never read
     garbage): with a huge wobble the result still lies within the global
