@@ -313,9 +313,15 @@ def dysample_grid_sample(x: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     import os
     B, H, W, C = x.shape
     Ho, Wo, g = grid.shape[1], grid.shape[2], grid.shape[3]
+    P = Ho * Wo
+    p1 = -(-P // 128) * 128
+    # without a valid band tiling the kernel runs in degenerate
+    # whole-image mode (bandH == H, one tile) — still worth it for the
+    # regroup transposes it removes (eucb2/d3 stages)
+    fits = (_band_tile(Ho, Wo, H) is not None
+            or g * H * W * (p1 + C) * 4 <= 8 * 2**20)
     if (jax.default_backend() == "tpu" and x.dtype == jnp.bfloat16
-            and Ho == 2 * H and Wo == 2 * W and C % g == 0
-            and _band_tile(Ho, Wo, H)
+            and Ho == 2 * H and Wo == 2 * W and C % g == 0 and fits
             and os.environ.get("CEIGM_GS_BAND", "1") == "1"
             and os.environ.get("CEIGM_GS_GROUP", "1") == "1"):
         return _gs_banded_groups(x, grid)
@@ -364,9 +370,15 @@ def _gs_banded_groups_impl(x: jnp.ndarray, grid: jnp.ndarray,
     Cg = C // g
     P = Ho * Wo
     T = _band_tile(Ho, Wo, H)
-    bandH = T // 2 + 6
-    p_tile = T * Wo
-    n_t = -(-Ho // T)
+    if T is None:
+        # degenerate whole-image mode: one lane-padded tile, full band
+        # (T only feeds the band-start math below, which clips to 0)
+        bandH, n_t, T = H, 1, 2 * H
+        p_tile = -(-P // 128) * 128
+    else:
+        bandH = T // 2 + 6
+        p_tile = T * Wo
+        n_t = -(-Ho // T)
     Pp = n_t * p_tile
     # (B, Ho, Wo, g) -> (B, g, P) pixel coords (small f32 transposes)
     gx = (grid[..., 0].astype(jnp.float32) + 1.0) * W / 2.0 - 0.5

@@ -137,6 +137,24 @@ def test_grouped_banded_kernel_matches_ref_interpret():
                                    err_msg=f"grouped banded {dtype}")
 
 
+def test_grouped_dense_mode_matches_ref():
+    """No valid band tiling (eucb2/d3 geometries) -> degenerate
+    whole-image mode: one lane-padded tile, bandH == H."""
+    import ceigm_unet_tpu.ops.grid_sample as gs
+    rng = np.random.default_rng(7)
+    B, H, W, g, cg = 2, 14, 14, 4, 8
+    C = g * cg
+    assert gs._band_tile(2 * H, 2 * W, H) is None
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    grids = np.stack([np.asarray(_dysample_like_grid(rng, B, H, W))
+                      for _ in range(g)], axis=3)
+    grid = jnp.asarray(grids, jnp.float32)
+    want = np.asarray(gs._dysample_ref(x, grid), np.float32)
+    got = np.asarray(gs._gs_banded_groups_impl(x, grid, interpret=True),
+                     np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_grouped_banded_odd_group_width():
     """Cg that is not lane-aligned (eucb2's 87) must still mask exactly."""
     import ceigm_unet_tpu.ops.grid_sample as gs
