@@ -222,6 +222,18 @@ class _DenseParams(nn.Module):
         self.bias = self.param("bias", nn.initializers.zeros, (self.dout,))
 
 
+def _use_fused_cffn() -> bool:
+    """Gate for the VMEM-resident fused CustomFfn kernel
+    (ops/ffn_pallas.py custom_ffn_fused). Default ON on TPU: hardware
+    A/B (r3, b64 224²) 52.74 -> 51.63 ms — XLA's decoder-tail fusions
+    run 7-16x off the bandwidth floor (49-tap inception stencil inside
+    batch-in-lanes reduce-fusions). CEIGM_CFFN=0 disables."""
+    import os
+    from ceigm_unet_tpu.ops.selective_scan import _resolve_backend
+    return (os.environ.get("CEIGM_CFFN", "1") == "1"
+            and _resolve_backend("auto") == "pallas")
+
+
 def _use_fused_ffn() -> bool:
     """Opt-in gate for the VMEM-resident fused PVT2FFN kernel
     (ops/ffn_pallas.py). Default OFF: the model-level A/B (r3) measured
@@ -254,27 +266,21 @@ class InceptionDWConvMultiScale(nn.Module):
     branch_ratio: float = 0.125
 
     @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
+    def composite(self, c: int, dtype):
+        """The composite (7,7,1,c) kernel + (c,) bias (branch params
+        dw3/dw5/dw7, same tree as the reference split)."""
+        from ceigm_unet_tpu.ops.ffn_pallas import inception_composite
         g = int(c * self.branch_ratio)
         p3 = _DwParams(3, g, name="dw3")
         p5 = _DwParams(5, g, name="dw5")
         p7 = _DwParams(7, g, name="dw7")
+        return inception_composite(c, g, p3.kernel, p5.kernel,
+                                   p7.kernel, p3.bias, p5.bias, p7.bias,
+                                   dtype)
 
-        K = jnp.zeros((7, 7, 1, c), x.dtype)
-        ident = jnp.zeros((7, 7, 1, c - 3 * g), x.dtype
-                          ).at[3, 3].set(1.0)
-        K = K.at[:, :, :, :c - 3 * g].set(ident)
-        K = K.at[2:5, 2:5, :, c - 3 * g:c - 2 * g].set(
-            p3.kernel.astype(x.dtype))
-        K = K.at[1:6, 1:6, :, c - 2 * g:c - g].set(
-            p5.kernel.astype(x.dtype))
-        K = K.at[:, :, :, c - g:].set(p7.kernel.astype(x.dtype))
-        bias = jnp.concatenate([
-            jnp.zeros(c - 3 * g, x.dtype), p3.bias.astype(x.dtype),
-            p5.bias.astype(x.dtype), p7.bias.astype(x.dtype)])
-
+    def __call__(self, x):
         from ceigm_unet_tpu.ops.dwconv_pallas import depthwise_conv2d
+        K, bias = self.composite(x.shape[-1], x.dtype)
         return x + depthwise_conv2d(x, K, bias)
 
 
@@ -292,6 +298,24 @@ class CustomFfn(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         wide = bool(self.true_c) and self.true_c != c
+        if _use_fused_cffn() and not wide and x.ndim == 4:
+            # one VMEM-resident kernel: XLA's decoder-tail fusions run
+            # 7-16x off the bandwidth floor here (the 49-tap inception
+            # stencil lands in a batch-in-lanes fc2 reduce-fusion — r3
+            # trace/HLO); the kernel keeps the hidden plane in VMEM
+            B, H, W, _ = x.shape
+            w1 = _DenseParams(c, self.hidden, trunc_normal(), name="fc1")
+            dwp = _DwParams(3, self.hidden, name="dwconv")
+            inck, incb = InceptionDWConvMultiScale(name="custom").composite(
+                self.hidden, jnp.float32)
+            w2 = _DenseParams(self.hidden, c, trunc_normal(), name="fc2")
+            from ceigm_unet_tpu.ops.ffn_pallas import custom_ffn_fused
+            y = custom_ffn_fused(
+                x.astype(self.dtype).reshape(B, H * W, c),
+                w1.kernel, w1.bias, dwp.kernel, dwp.bias, inck, incb,
+                w2.kernel, w2.bias, H, W,
+                3 * int(self.hidden * 0.125))
+            return y.reshape(B, H, W, c)
         if wide:
             x = PadDense(self.hidden, true_in=self.true_c,
                          kernel_init=trunc_normal(), dtype=self.dtype,

@@ -136,7 +136,7 @@ def quad_ssm_nhwc(xc_k: jnp.ndarray, p, R: int,
 
 
 def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
-                   dtype, dgw=None):
+                   dtype, dgw=None, cat=False):
     """Per-group fused quad path (v3): dt/B/C projections as
     block-diagonal dense GEMMs, then one pallas launch per group scanning
     its (H, W*D) block in its own direction with the group-LN fused in
@@ -145,9 +145,12 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
     alternative to the planar kernel for model-level A/B.
 
     xc: (B, H, W, K*D) planar post conv+silu -> normalized (ungated)
-    activation (B, K, L, D) in `dtype`, pixel-ordered (merge-free).
+    activation (B, K, L, D) in `dtype`, pixel-ordered (merge-free) — or
+    lane-concatenated (B, L, K*D) with ``cat=True`` (skips the
+    group-planar stack + swapaxes round trip on the output side).
     """
-    from ceigm_unet_tpu.ops.quad_scan import sscan_quad_ln
+    from ceigm_unet_tpu.ops.quad_scan import (sscan_quad_ln,
+                                              sscan_quad_ln_cat)
     K = len(directions)
     B_ = xc.shape[0]
     L = H * W
@@ -209,10 +212,11 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
                 cpad, constant_values=-1.0)
     bias = jnp.pad(p.dt_projs_bias.astype(jnp.float32), cpad)
     Ds = jnp.pad(p.Ds.astype(jnp.float32).reshape(K, D), cpad)
-    y = sscan_quad_ln(ut, dtt, Bt, Ct, A, bias, Ds,
-                      (jnp.pad(ln_scale, cpad), jnp.pad(ln_bias, cpad)),
-                      H, W, tuple(int(d) for d in directions),
-                      true_c=(D if Dw != D else None))
+    scan = sscan_quad_ln_cat if cat else sscan_quad_ln
+    y = scan(ut, dtt, Bt, Ct, A, bias, Ds,
+             (jnp.pad(ln_scale, cpad), jnp.pad(ln_bias, cpad)),
+             H, W, tuple(int(d) for d in directions),
+             true_c=(D if Dw != D else None))
     from ceigm_unet_tpu.utils.debug import check_nan_inf
     return check_nan_inf("quad_pergroup.y", y)
 
@@ -544,19 +548,23 @@ class QuadGroupSS2D(nn.Module):
                     *[jnp.pad(w_out[k], ((0, Dg - d_inner), (0, 0)))
                       for k in range(K)]).astype(self.dtype)
             else:
-                yk = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
-                                    self.directions, H, W, d_inner,
-                                    self.dtype,
-                                    dgw=(d_inner + xc_pad) if xc_pad
-                                    else None)
-                # (B, K, L, dgw) normalized, pad lanes zero
+                dgw_arg = (d_inner + xc_pad) if xc_pad else None
                 if _use_pack():
+                    yk = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
+                                        self.directions, H, W, d_inner,
+                                        self.dtype, dgw=dgw_arg)
+                    # (B, K, L, dgw) normalized, pad lanes zero
                     from ceigm_unet_tpu.ops.pack import unpack_groups
                     yt = unpack_groups(
                         yk, jax.default_backend() != "tpu"
                     ).reshape(B_ * L, Dinw)
                 else:
-                    yt = jnp.swapaxes(yk, 1, 2).reshape(B_ * L, Dinw)
+                    # lane-concatenated (B, L, Dinw) straight from the
+                    # scan outputs — no group-planar stack + swapaxes
+                    yt = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
+                                        self.directions, H, W, d_inner,
+                                        self.dtype, dgw=dgw_arg,
+                                        cat=True).reshape(B_ * L, Dinw)
                 # wide: out-proj rows zero-padded per group, columns
                 # zero-padded to the wide output width (pads stay zero)
                 wout_bd = jnp.pad(jax.scipy.linalg.block_diag(

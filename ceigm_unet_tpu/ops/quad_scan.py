@@ -523,10 +523,16 @@ def _sscan_quad_ln_fwd(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, directions,
 
 
 def _sscan_quad_ln_bwd(H, W, directions, true_c, res, go):
+    return _quad_ln_bwd_impl(H, W, directions, true_c, res,
+                             [go[:, k] for k in range(len(directions))])
+
+
+def _quad_ln_bwd_impl(H, W, directions, true_c, res, go_slices):
     """Recompute-based backward: h via the scan kernel, LN backward in
     XLA, then the scan adjoint via the reversed-direction kernel.
     With ``true_c`` set, the LN statistic divisors use the true lane
-    count (pad lanes hold zeros — see the fwd docstring)."""
+    count (pad lanes hold zeros — see the fwd docstring).
+    ``go_slices``: per-group (B, L, C) output cotangents."""
     u0, dt0, Bs0, Cs0, A, bias, Dv, ln_s, ln_b = res
     interpret = jax.default_backend() != "tpu"
     eps = 1e-5
@@ -540,7 +546,7 @@ def _sscan_quad_ln_bwd(H, W, directions, true_c, res, go):
         dt = dt0[:, k].astype(jnp.float32)
         Bf = Bs0[:, k].astype(jnp.float32)[..., None]   # (B, L, 1)
         Cf = Cs0[:, k].astype(jnp.float32)[..., None]
-        g = go[:, k].astype(jnp.float32)
+        g = go_slices[k].astype(jnp.float32)
 
         pre = dt + bias[k]
         d = jax.nn.softplus(pre)
@@ -584,6 +590,43 @@ def _sscan_quad_ln_bwd(H, W, directions, true_c, res, go):
 
 
 sscan_quad_ln.defvjp(_sscan_quad_ln_fwd, _sscan_quad_ln_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def sscan_quad_ln_cat(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, directions,
+                      true_c=None):
+    """:func:`sscan_quad_ln`, but the per-direction outputs are
+    lane-concatenated to (B, H*W, K*C) — the exact layout the gated
+    out-projection GEMM consumes. This skips the group-planar
+    (B, K, L, C) stack + swapaxes round trip the v3 API forces on the
+    model side (~two 25 MB relayout passes per quad call at stage 1,
+    r3 trace)."""
+    return _sscan_quad_ln_cat_fwd(u, dt, Bs, Cs, A, bias, Dv, ln,
+                                  H, W, directions, true_c)[0]
+
+
+def _sscan_quad_ln_cat_fwd(u, dt, Bs, Cs, A, bias, Dv, ln, H, W,
+                           directions, true_c=None):
+    interpret = jax.default_backend() != "tpu"
+    ln_s, ln_b = ln
+    consts = jnp.stack([A.astype(jnp.float32), bias.astype(jnp.float32),
+                        Dv.astype(jnp.float32), ln_s.astype(jnp.float32),
+                        ln_b.astype(jnp.float32)])
+    outs = _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W,
+                                 tuple(directions), true_c=true_c,
+                                 interpret=interpret)
+    out = jnp.concatenate(outs, axis=-1)
+    return out, (u, dt, Bs, Cs, A, bias, Dv, ln_s, ln_b)
+
+
+def _sscan_quad_ln_cat_bwd(H, W, directions, true_c, res, go):
+    C = res[0].shape[-1]
+    return _quad_ln_bwd_impl(
+        H, W, directions, true_c, res,
+        [go[..., k * C:(k + 1) * C] for k in range(len(directions))])
+
+
+sscan_quad_ln_cat.defvjp(_sscan_quad_ln_cat_fwd, _sscan_quad_ln_cat_bwd)
 
 
 

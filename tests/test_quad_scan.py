@@ -78,3 +78,40 @@ def test_vjp(direction):
     for x, y in zip(ga, gr):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_quad_ln_cat_matches_stacked():
+    """sscan_quad_ln_cat == lane-concat of the stacked API (values and
+    gradients)."""
+    from ceigm_unet_tpu.ops.quad_scan import sscan_quad_ln, sscan_quad_ln_cat
+    rng = np.random.default_rng(7)
+    B, K, H, W, C = 2, 4, 6, 10, 8
+    L = H * W
+    u = jnp.asarray(rng.standard_normal((B, K, L, C)), jnp.float32)
+    dt = jnp.asarray(rng.standard_normal((B, K, L, C)) * 0.1, jnp.float32)
+    Bs = jnp.asarray(rng.standard_normal((B, K, L)), jnp.float32)
+    Cs = jnp.asarray(rng.standard_normal((B, K, L)), jnp.float32)
+    A = jnp.asarray(-np.abs(rng.standard_normal((K, C))) - 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((K, C)) * 0.1, jnp.float32)
+    Dv = jnp.asarray(rng.standard_normal((K, C)), jnp.float32)
+    ln = (jnp.asarray(rng.standard_normal((K, C)), jnp.float32),
+          jnp.asarray(rng.standard_normal((K, C)) * 0.1, jnp.float32))
+    dirs = (1, 2, 3, 4)
+
+    want = sscan_quad_ln(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, dirs)
+    want = jnp.concatenate([want[:, k] for k in range(K)], axis=-1)
+    got = sscan_quad_ln_cat(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, dirs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    ct = jnp.asarray(rng.standard_normal(got.shape), jnp.float32)
+    f_cat = lambda *a: jnp.sum(sscan_quad_ln_cat(*a, H, W, dirs) * ct)
+    ct_st = ct.reshape(B, L, K, C).transpose(0, 2, 1, 3)
+    f_stk = lambda *a: jnp.sum(sscan_quad_ln(*a, H, W, dirs) * ct_st)
+    ga = jax.grad(f_cat, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        u, dt, Bs, Cs, A, bias, Dv, ln)
+    gb = jax.grad(f_stk, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        u, dt, Bs, Cs, A, bias, Dv, ln)
+    for n, a, b in zip("u dt Bs Cs A bias Dv".split(), ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=n)

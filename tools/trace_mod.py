@@ -2,6 +2,10 @@
 compiled HLO's op_name metadata, then aggregate by model module.
 
 python tools/trace_mod.py [depth [batch]]   (full model, real TPU)
+python tools/trace_mod.py [depth] --from-dump   (re-aggregate offline)
+
+Raw (duration, op, module) rows are dumped to /tmp/trace_mod_rows.json so
+different depths/filters can be recomputed without re-tracing.
 """
 from __future__ import annotations
 
@@ -21,9 +25,10 @@ from tools.trace_attr import trace_ops
 print = functools.partial(print, flush=True)
 
 
-def main():
-    depth = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+DUMP = "/tmp/trace_mod_rows.json"
+
+
+def collect(B: int):
     from ceigm_unet_tpu.models import build_model
     model = build_model(num_classes=9, dtype=jnp.bfloat16,
                         scan_backend="auto")
@@ -44,10 +49,25 @@ def main():
             name2mod[m.group(1)] = p
 
     rows = trace_ops(fn, x)
+    out = [(d, n, name2mod.get(n, "?")) for d, n, _ in rows]
+    import json
+    with open(DUMP, "w") as f:
+        json.dump(out, f)
+    return out
+
+
+def main():
+    depth = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    if "--from-dump" in sys.argv:
+        import json
+        with open(DUMP) as f:
+            rows = json.load(f)
+    else:
+        B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+        rows = collect(B)
     total = sum(d for d, _, _ in rows)
     mods = defaultdict(lambda: [0.0, 0])
-    for d, n, _ in rows:
-        p = name2mod.get(n, "?")
+    for d, n, p in rows:
         parts = [q for q in p.split("/") if q]
         key = "/".join(parts[:depth]) if parts else "?"
         mods[key][0] += d
