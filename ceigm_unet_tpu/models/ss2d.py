@@ -136,7 +136,7 @@ def quad_ssm_nhwc(xc_k: jnp.ndarray, p, R: int,
 
 
 def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
-                   dtype, dgw=None, cat=False):
+                   dtype, dgw=None, cat=False, pre_dt=None):
     """Per-group fused quad path (v3): dt/B/C projections as
     block-diagonal dense GEMMs, then one pallas launch per group scanning
     its (H, W*D) block in its own direction with the group-LN fused in
@@ -158,7 +158,16 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
     cpad = ((0, 0), (0, Dw - D))
     xcf = xc.reshape(B_ * L, K * Dw)
 
-    if _use_dtfuse():
+    if pre_dt is not None:
+        # dt arrived precomputed from the fused prologue kernel
+        # (ops/quad_prologue.py); only the B/C projection remains
+        wbc_bd = jax.scipy.linalg.block_diag(
+            *[jnp.swapaxes(p.x_proj_weight[k, R:R + 2], 0, 1)
+              for k in range(K)]).astype(dtype)            # (K*D, 2K)
+        bc = (xcf @ wbc_bd).reshape(B_, L, K, 2)
+        Bs, Cs = bc[..., 0], bc[..., 1]
+        dt = pre_dt.reshape(B_ * L, K * Dw)
+    elif _use_dtfuse():
         # collapse the rank-R dt bottleneck at trace time (the planar
         # path's trick, ss2d.py:_quad_planar): (x @ Wx_dt) @ Wdt ==
         # x @ (Wx_dt @ Wdt) — removes the skinny N=K*R GEMM hop and its
@@ -219,6 +228,14 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
              true_c=(D if Dw != D else None))
     from ceigm_unet_tpu.utils.debug import check_nan_inf
     return check_nan_inf("quad_pergroup.y", y)
+
+
+def _use_prologue() -> bool:
+    """Gate (CEIGM_PROLOGUE=1): fused in-proj + dw3x3 + silu + dt-chain
+    prologue kernel (ops/quad_prologue.py) on the per-group quad path.
+    A/B via tools/exp_fuse_ab.py CEIGM_PROLOGUE before flipping."""
+    import os
+    return os.environ.get("CEIGM_PROLOGUE", "0") == "1"
 
 
 def _use_dtfuse() -> bool:
@@ -487,22 +504,6 @@ class QuadGroupSS2D(nn.Module):
             ((0, row_pad), (0, 0))).astype(self.dtype)
         xp = x.astype(self.dtype).reshape(B_ * L, C)
         Dinw = Din + K * xc_pad             # xc width (== C when wide)
-        if _use_fuseproj() and Din < 128 and not wide and zpad == 0:
-            # one N=2*Din GEMM: at Din < 128 the split GEMMs are skinny
-            # enough that XLA picks tokens-on-lanes emitters and copies
-            # the (B,H,W,C) input into a batch-minor layout per GEMM
-            # (r3 HLO: five 0.21 ms copies + reshapes at stage 1 alone);
-            # N >= 128 keeps the standard emitter. The two lane-slices
-            # of the fused output are the price — A/B via CEIGM_FUSEPROJ.
-            xz = xp @ jnp.concatenate([w_xc_bd, w_z_bd], axis=1)
-            xc = xz[:, :Dinw].reshape(B_, L, Dinw)
-            z = nn.silu(xz[:, Dinw:])
-        else:
-            # two GEMMs (not one + lane slice): each output feeds a
-            # different consumer layout; slicing a fused GEMM output
-            # costs a relayout
-            xc = (xp @ w_xc_bd).reshape(B_, L, Dinw)
-            z = nn.silu(xp @ w_z_bd)        # (B*L, Din + K*zpad)
 
         from ceigm_unet_tpu.models.layers import _DwParams
         dwp = _DwParams(self.d_conv, Din, use_bias=self.conv_bias,
@@ -530,9 +531,47 @@ class QuadGroupSS2D(nn.Module):
         w_out = self.param("out_proj_weight", trunc_normal(),
                            (K, d_inner, dg))
 
-        from ceigm_unet_tpu.ops.dwconv_pallas import depthwise_conv2d
-        xc = xc.reshape(B_, H, W, Dinw)
-        xc = nn.silu(depthwise_conv2d(xc, dwk, dwb))
+        pre_dt = None
+        if (_use_prologue() and quad_fast and self.d_state == 1
+                and not wide and not use_planar):
+            # fused prologue kernel: in-proj GEMMs + dw3x3 + silu + dt
+            # chain, one pallas call (ops/quad_prologue.py) — replaces
+            # the emitter-bound skinny-GEMM chain below
+            from ceigm_unet_tpu.ops.quad_prologue import quad_prologue
+            wxdt_bd = jax.scipy.linalg.block_diag(
+                *[jnp.swapaxes(p.x_proj_weight[k, :R], 0, 1)
+                  for k in range(K)]).astype(self.dtype)   # (Din, K*R)
+            wdt_bd = jax.scipy.linalg.block_diag(
+                *[jnp.swapaxes(p.dt_projs_weight[k], 0, 1)
+                  for k in range(K)]).astype(self.dtype)   # (K*R, Din)
+            dwb_arr = (dwb if dwb is not None
+                       else jnp.zeros((Din,), jnp.float32))
+            xs_, zf, pre_dt = quad_prologue(
+                xp.reshape(B_, L, C), w_xc_bd, w_z_bd, wxdt_bd, wdt_bd,
+                dwk, dwb_arr, H, W)
+            xc = xs_.reshape(B_, H, W, Din)
+            z = zf.reshape(B_ * L, Din)
+        elif _use_fuseproj() and Din < 128 and not wide and zpad == 0:
+            # one N=2*Din GEMM: at Din < 128 the split GEMMs are skinny
+            # enough that XLA picks tokens-on-lanes emitters and copies
+            # the (B,H,W,C) input into a batch-minor layout per GEMM
+            # (r3 HLO: five 0.21 ms copies + reshapes at stage 1 alone);
+            # N >= 128 keeps the standard emitter. The two lane-slices
+            # of the fused output are the price — A/B via CEIGM_FUSEPROJ.
+            xz = xp @ jnp.concatenate([w_xc_bd, w_z_bd], axis=1)
+            xc = xz[:, :Dinw].reshape(B_, L, Dinw)
+            z = nn.silu(xz[:, Dinw:])
+        else:
+            # two GEMMs (not one + lane slice): each output feeds a
+            # different consumer layout; slicing a fused GEMM output
+            # costs a relayout
+            xc = (xp @ w_xc_bd).reshape(B_, L, Dinw)
+            z = nn.silu(xp @ w_z_bd)        # (B*L, Din + K*zpad)
+
+        if pre_dt is None:
+            from ceigm_unet_tpu.ops.dwconv_pallas import depthwise_conv2d
+            xc = xc.reshape(B_, H, W, Dinw)
+            xc = nn.silu(depthwise_conv2d(xc, dwk, dwb))
 
         if quad_fast and self.d_state == 1:
             if use_planar:
@@ -564,7 +603,9 @@ class QuadGroupSS2D(nn.Module):
                     yt = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
                                         self.directions, H, W, d_inner,
                                         self.dtype, dgw=dgw_arg,
-                                        cat=True).reshape(B_ * L, Dinw)
+                                        cat=True,
+                                        pre_dt=pre_dt).reshape(
+                                            B_ * L, Dinw)
                 # wide: out-proj rows zero-padded per group, columns
                 # zero-padded to the wide output width (pads stay zero)
                 wout_bd = jnp.pad(jax.scipy.linalg.block_diag(

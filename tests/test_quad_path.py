@@ -67,3 +67,22 @@ def test_quadgroup_grad_parity():
     for xa, xp in zip(flat_a, flat_p):
         np.testing.assert_allclose(np.asarray(xp), np.asarray(xa),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_quadgroup_prologue_equivalence(monkeypatch):
+    """CEIGM_PROLOGUE fuses in-proj + dw3x3 + silu + dt chain into one
+    kernel (ops/quad_prologue.py) — must match the unfused path (values
+    and input grads)."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 32)).astype(np.float32))
+    m = QuadGroupSS2D(dim=32, scan_backend="pallas")
+    params = m.init(jax.random.PRNGKey(0), x)
+    loss = lambda q: jnp.sum(m.apply(params, q) ** 2)
+    monkeypatch.setenv("CEIGM_PROLOGUE", "0")
+    a = np.asarray(jax.jit(m.apply)(params, x))
+    ga = np.asarray(jax.grad(loss)(x))
+    monkeypatch.setenv("CEIGM_PROLOGUE", "1")
+    b = np.asarray(jax.jit(m.apply)(params, x))
+    gb = np.asarray(jax.grad(loss)(x))
+    np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(gb, ga, rtol=2e-4, atol=2e-4)
