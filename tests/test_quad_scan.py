@@ -115,3 +115,28 @@ def test_quad_ln_cat_matches_stacked():
     for n, a, b in zip("u dt Bs Cs A bias Dv".split(), ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5, err_msg=n)
+
+def test_quad_ln_merged_matches_pergroup(monkeypatch):
+    """CEIGM_MERGESCAN=1 (one pallas call for all K groups) must match
+    the per-group-call path exactly."""
+    from ceigm_unet_tpu.ops.quad_scan import sscan_quad_ln
+    rng = np.random.default_rng(11)
+    B, K, H, W, C = 2, 4, 6, 10, 8
+    L = H * W
+    u = jnp.asarray(rng.standard_normal((B, K, L, C)), jnp.float32)
+    dt = jnp.asarray(rng.standard_normal((B, K, L, C)) * 0.1, jnp.float32)
+    Bs = jnp.asarray(rng.standard_normal((B, K, L)), jnp.float32)
+    Cs = jnp.asarray(rng.standard_normal((B, K, L)), jnp.float32)
+    A = jnp.asarray(-np.abs(rng.standard_normal((K, C))) - 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((K, C)) * 0.1, jnp.float32)
+    Dv = jnp.asarray(rng.standard_normal((K, C)), jnp.float32)
+    ln = (jnp.asarray(rng.standard_normal((K, C)), jnp.float32),
+          jnp.asarray(rng.standard_normal((K, C)) * 0.1, jnp.float32))
+    dirs = (1, 2, 3, 4)
+
+    monkeypatch.setenv("CEIGM_MERGESCAN", "0")
+    want = sscan_quad_ln(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, dirs)
+    monkeypatch.setenv("CEIGM_MERGESCAN", "1")
+    got = sscan_quad_ln(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, dirs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0)
