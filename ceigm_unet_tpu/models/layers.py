@@ -31,6 +31,31 @@ def use_wide() -> bool:
     return os.environ.get("CEIGM_WIDE", "0") == "1"
 
 
+def _flat_mode() -> str:
+    import os
+    return "0" if use_wide() else os.environ.get("CEIGM_FLAT", "0")
+
+
+def use_flat_chain() -> bool:
+    """Gate (CEIGM_FLAT=1|all|enc): run the ENCODER BlockMamba chains in
+    the flat (B, L, C) token view — flatten once at stage entry,
+    unflatten at exit. Rationale (r3 b128 trace): the dim-64 blocks
+    spend ~2.5 of 3.73 ms in relayouts, the worst being the out-proj
+    GEMM's tokens-minor {0,1} output hopping through {2,1,0,3} to the
+    consumer's {0,3,2,1} 4-D layout (1.39 ms/block). Measured and LOST
+    whole-model (87.4 -> 96.8 ms b128: the unfused Pvt2Ffn dwconv
+    boundary relayouts more than the flat view saves) — encoder flat
+    stays default OFF."""
+    return _flat_mode() in ("1", "all", "enc")
+
+
+def use_flat_front() -> bool:
+    """Gate (CEIGM_FLAT=1|all|front): flat token view for the decoder
+    Front stacks only — there the FFN is the fused CustomFfn pallas
+    kernel (consumes (B, L, C) directly, no XLA dwconv boundary)."""
+    return _flat_mode() in ("1", "all", "front")
+
+
 def wide_dim(c: int) -> int:
     """Lane-tile-aligned activation width for channel count ``c``."""
     return c if c % 128 == 0 else -(-c // 128) * 128
@@ -161,14 +186,18 @@ class Pvt2Ffn(nn.Module):
     true_c: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, hw=None):
+        """x: (B, H, W, C), or flat (B, L, C) with ``hw`` (flat-chain
+        mode, layers.use_flat_chain) — output rank matches the input."""
         c = x.shape[-1]
+        flat = x.ndim == 3
+        B = x.shape[0]
+        H, W = hw if flat else x.shape[1:3]
         wide = bool(self.true_c) and self.true_c != c
-        if _use_fused_ffn() and not wide and x.ndim == 4:
+        if _use_fused_ffn(c) and not wide:
             # one VMEM-resident kernel: the hidden tensor never hits HBM
             # (ops/ffn_pallas.py; the unfused chain is ~1.4 ms/block of
             # pure HBM traffic at stage-1 — r3 HLO/trace analysis)
-            B, H, W, _ = x.shape
             w1 = _DenseParams(c, self.hidden, trunc_normal(), name="fc1")
             dwp = _DwParams(3, self.hidden, name="dwconv")
             w2 = _DenseParams(self.hidden, c, trunc_normal(), name="fc2")
@@ -177,7 +206,7 @@ class Pvt2Ffn(nn.Module):
                 x.astype(self.dtype).reshape(B, H * W, c),
                 w1.kernel, w1.bias, dwp.kernel, dwp.bias,
                 w2.kernel, w2.bias, H, W)
-            return y.reshape(B, H, W, c)
+            return y if flat else y.reshape(B, H, W, c)
         if wide:
             x = PadDense(self.hidden, true_in=self.true_c,
                          kernel_init=trunc_normal(), dtype=self.dtype,
@@ -185,8 +214,12 @@ class Pvt2Ffn(nn.Module):
         else:
             x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
                          dtype=self.dtype, name="fc1")(x)
+        if flat:
+            x = x.reshape(B, H, W, self.hidden)
         x = dw_conv(self.hidden, 3, name="dwconv")(x)
         x = fast_gelu(x)
+        if flat:
+            x = x.reshape(B, H * W, self.hidden)
         if wide:
             x = PadDense(self.true_c, true_in=self.hidden, wide_out=c,
                          kernel_init=trunc_normal(), dtype=self.dtype,
@@ -234,18 +267,22 @@ def _use_fused_cffn() -> bool:
             and _resolve_backend("auto") == "pallas")
 
 
-def _use_fused_ffn() -> bool:
-    """Opt-in gate for the VMEM-resident fused PVT2FFN kernel
-    (ops/ffn_pallas.py). Default OFF: the model-level A/B (r3) measured
-    the kernel at 10.5 ms vs the ~9.5 ms of XLA mega-fusions it replaces
-    — XLA's dwconv+fc2+LN-stat fusions already run near HBM bandwidth,
-    and the kernel's VPU-bound 9-tap shifts cost more than the HBM
-    traffic they avoid. Kept (tested, differentiable) for larger-HID
-    regimes or if Mosaic's shift codegen improves."""
+def _use_fused_ffn(c: int = 0) -> bool:
+    """Gate for the VMEM-resident fused PVT2FFN kernel
+    (ops/ffn_pallas.py). CEIGM_FFN: "0" off, "1" everywhere, or an
+    integer N > 1 = fused only where the model dim c >= N. At stage 1
+    (c=64) the model-level A/B (r3) measured the kernel at 10.5 ms vs
+    the ~9.5 ms of XLA mega-fusions it replaces — XLA's dwconv+fc2+
+    LN-stat fusions run near HBM bandwidth there. At stage 3 (c=348,
+    14x14) the same XLA fusion emits batch-in-lanes and runs ~3.7x off
+    the floor (r3 b128 trace: fc2 fusion 0.64 ms/block), so the wide
+    narrow-spatial stages are gated separately."""
     import os
     from ceigm_unet_tpu.ops.selective_scan import _resolve_backend
-    return (os.environ.get("CEIGM_FFN", "0") == "1"
-            and _resolve_backend("auto") == "pallas")
+    v = os.environ.get("CEIGM_FFN", "0")
+    if v == "0" or _resolve_backend("auto") != "pallas":
+        return False
+    return v == "1" or (v.isdigit() and c >= int(v))
 
 
 class InceptionDWConvMultiScale(nn.Module):
@@ -295,15 +332,19 @@ class CustomFfn(nn.Module):
     true_c: int = 0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, hw=None):
+        """x: (B, H, W, C), or flat (B, L, C) with ``hw`` (flat-chain
+        mode, layers.use_flat_chain) — output rank matches the input."""
         c = x.shape[-1]
+        flat = x.ndim == 3
+        B = x.shape[0]
+        H, W = hw if flat else x.shape[1:3]
         wide = bool(self.true_c) and self.true_c != c
-        if _use_fused_cffn() and not wide and x.ndim == 4:
+        if _use_fused_cffn() and not wide:
             # one VMEM-resident kernel: XLA's decoder-tail fusions run
             # 7-16x off the bandwidth floor here (the 49-tap inception
             # stencil lands in a batch-in-lanes fc2 reduce-fusion — r3
             # trace/HLO); the kernel keeps the hidden plane in VMEM
-            B, H, W, _ = x.shape
             w1 = _DenseParams(c, self.hidden, trunc_normal(), name="fc1")
             dwp = _DwParams(3, self.hidden, name="dwconv")
             inck, incb = InceptionDWConvMultiScale(name="custom").composite(
@@ -315,7 +356,7 @@ class CustomFfn(nn.Module):
                 w1.kernel, w1.bias, dwp.kernel, dwp.bias, inck, incb,
                 w2.kernel, w2.bias, H, W,
                 3 * int(self.hidden * 0.125))
-            return y.reshape(B, H, W, c)
+            return y if flat else y.reshape(B, H, W, c)
         if wide:
             x = PadDense(self.hidden, true_in=self.true_c,
                          kernel_init=trunc_normal(), dtype=self.dtype,
@@ -323,9 +364,13 @@ class CustomFfn(nn.Module):
         else:
             x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
                          dtype=self.dtype, name="fc1")(x)
+        if flat:
+            x = x.reshape(B, H, W, self.hidden)
         x = dw_conv(self.hidden, 3, name="dwconv")(x)
         x = fast_gelu(x)
         x = InceptionDWConvMultiScale(name="custom")(x)
+        if flat:
+            x = x.reshape(B, H * W, self.hidden)
         if wide:
             x = PadDense(self.true_c, true_in=self.hidden, wide_out=c,
                          kernel_init=trunc_normal(), dtype=self.dtype,

@@ -65,10 +65,10 @@ def test_pvt2ffn_module_fused_matches_unfused(monkeypatch):
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((2, 6, 9, 16)).astype(np.float32))
     m = Pvt2Ffn(hidden=32)
-    monkeypatch.setattr(L, "_use_fused_ffn", lambda: False)
+    monkeypatch.setattr(L, "_use_fused_ffn", lambda c=0: False)
     params = m.init(jax.random.PRNGKey(0), x)
     want = np.asarray(m.apply(params, x))
-    monkeypatch.setattr(L, "_use_fused_ffn", lambda: True)
+    monkeypatch.setattr(L, "_use_fused_ffn", lambda c=0: True)
     params2 = m.init(jax.random.PRNGKey(0), x)
     assert (jax.tree_util.tree_structure(params)
             == jax.tree_util.tree_structure(params2))
