@@ -461,16 +461,37 @@ def _fused_quad_ln_kernel(H, W, C, true_c, dirn, u_ref, dt_ref, bs_ref,
         cs_ref[...], const_ref[...]).astype(out_ref.dtype)
 
 
-def _fused_quad_ln_merged_kernel(H, W, C, true_c, directions, u_ref,
+def _fused_quad_ln_merged_kernel(H, W, C, true_c, directions, G, u_ref,
                                  dt_ref, bs_ref, cs_ref, const_ref,
                                  *out_refs):
-    """All K groups of one image per grid step — one pallas launch per
-    quad block instead of K (kills K-1 per-call fixed costs and lets the
-    group DMAs pipeline behind each other's compute)."""
-    for g, dirn in enumerate(directions):
-        out_refs[g][...] = _quad_ln_body(
-            H, W, C, true_c, int(dirn), u_ref[g], dt_ref[g], bs_ref[g],
-            cs_ref[g], const_ref[g]).astype(out_refs[g].dtype)
+    """All K groups of G images per grid step — one pallas launch per
+    quad block instead of K*B (kills per-call/per-step fixed costs and
+    lets the group DMAs pipeline behind each other's compute). G > 1
+    amortizes the ~1.5-2 us/grid-step fixed cost at the small-spatial
+    stages where a single image's block is tiny."""
+    for i in range(G):
+        for g, dirn in enumerate(directions):
+            out_refs[g][i] = _quad_ln_body(
+                H, W, C, true_c, int(dirn), u_ref[i, g], dt_ref[i, g],
+                bs_ref[i, g], cs_ref[i, g],
+                const_ref[g]).astype(out_refs[g].dtype)
+
+
+def _merged_g(B, K, H, WC, dtype_size):
+    """Images per grid step for the merged kernel: grow G while a
+    step's u-block stays under ~2 MiB, capped at 8 and at divisors of B
+    (CEIGM_SCAN_G overrides). Hardware sweep (b128 224sq): policy@1MiB
+    86.99 ms, G=4 global 86.74, G=8 global 86.78 — the 2 MiB cap lands
+    stage 1 on G=4 and the small-spatial stages on G=8."""
+    import os
+    v = os.environ.get("CEIGM_SCAN_G", "")
+    if v.isdigit() and B % max(int(v), 1) == 0:
+        return max(int(v), 1)
+    img = K * H * WC * dtype_size
+    G = 1
+    while G < 8 and B % (G * 2) == 0 and (G * 2) * img <= (2 << 20):
+        G *= 2
+    return G
 
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "directions",
@@ -501,17 +522,19 @@ def _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W, directions,
     csv = Cs.reshape(B, K, H, W).astype(jnp.float32)
 
     if merged:
-        spec = pl.BlockSpec((None, K, H, W * C), lambda i: (i, 0, 0, 0),
+        G = _merged_g(B, K, H, W * C, u.dtype.itemsize)
+        spec = pl.BlockSpec((G, K, H, W * C), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-        sspec = pl.BlockSpec((None, K, H, W), lambda i: (i, 0, 0, 0),
+        sspec = pl.BlockSpec((G, K, H, W), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-        ospec = pl.BlockSpec((None, H, W * C), lambda i: (i, 0, 0),
+        ospec = pl.BlockSpec((G, H, W * C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
         oshape = jax.ShapeDtypeStruct((B, H, W * C), u.dtype)
         ys = pl.pallas_call(
             functools.partial(_fused_quad_ln_merged_kernel, H, W, C,
-                              true_c, tuple(int(d) for d in directions)),
-            grid=(B,),
+                              true_c, tuple(int(d) for d in directions),
+                              G),
+            grid=(B // G,),
             in_specs=[spec, spec, sspec, sspec,
                       pl.BlockSpec((K, 8, C), lambda i: (0, 0, 0),
                                    memory_space=pltpu.VMEM)],

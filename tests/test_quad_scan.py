@@ -138,5 +138,7 @@ def test_quad_ln_merged_matches_pergroup(monkeypatch):
     want = sscan_quad_ln(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, dirs)
     monkeypatch.setenv("CEIGM_MERGESCAN", "1")
     got = sscan_quad_ln(u, dt, Bs, Cs, A, bias, Dv, ln, H, W, dirs)
+    # G-image batching in the merged kernel reassociates elementwise
+    # fusion order (interpret mode) — ulp-level, not bit-exact
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=0, atol=0)
+                               rtol=2e-6, atol=2e-6)
