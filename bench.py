@@ -47,8 +47,10 @@ def _measure():
     on_tpu = platform == "tpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     # b128 measured +7.4% slices/s over b64 (tools/exp_batch.py r3:
-    # 1228.7 vs 1144.5) — fixed per-step overheads amortize
-    batch = 128 if on_tpu else 2
+    # 1228.7 vs 1144.5) — fixed per-step overheads amortize.
+    # CEIGM_BENCH_BATCH overrides (batch-sweep probes).
+    batch = int(os.environ.get("CEIGM_BENCH_BATCH", "128" if on_tpu
+                               else "2"))
     k = 8 if on_tpu else 1
 
     model = build_model(num_classes=9, dtype=compute_dtype,

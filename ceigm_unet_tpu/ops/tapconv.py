@@ -47,43 +47,27 @@ def _hmask(L, W, dx):
     return ok.astype(jnp.float32)
 
 
-def _lgag_kernel(W, r, g_ref, m_ref, c_ref, out_ref):
-    """One batch item: g (L, C) -> psi (L, 8) (column-broadcast).
+def _lgag_kernel(W, r, G, g_ref, m_ref, c_ref, out_ref):
+    """G batch items: g (G, L, C) -> psi (G, L, 8) (column-broadcast).
 
-    m_ref: (2r+1, (2r+1)*C, C2) row-stacked channel-mix matrices (all six
-    convs folded; for row offset dy, lane-block i holds the (dy, dx_i) tap
-    weights); c_ref: (8, C2) rows [bn_a, bn_b, psi_w, psi_scalars...].
+    m_ref: (2r+1, C, (2r+1)*C2) per-dx channel-mix blocks (all six convs
+    folded; block i's lane-slice j holds the (dy_j, dx_i) tap weights);
+    c_ref: (8, C2) rows [bn_a, bn_b, psi_w, psi_scalars...].
 
-    25 independent per-tap sublane shifts traced at ~1 ms at the finest
-    gate; here the k*k taps cost 2k-1 shifts: k small dx-shifts are
-    lane-concatenated once, then each dy row-shift feeds one fat matmul
-    against the stacked weights. Input-dtype compute, fp32 accumulation.
+    Shift-traffic note (r3): the previous design lane-concatenated k
+    dx-shifted copies of g and row-shifted the fat (L, k*C) block per dy
+    (~11M VPU element-moves/image at the finest gate). Shifts along L
+    commute with the row-wise channel-mix matmul, so here each dx block
+    is matmul'ed FIRST and the k*k taps become sublane shifts of narrow
+    (L, C2) slices (~2.5M moves). A tap's combined shift by dy*W+dx with
+    the dest-column mask is exact: a source crossing a row edge lands
+    with px+dx outside [0, W), which the mask kills; py+dy off the image
+    with px+dx valid implies the flat index is also off the array.
+    Input-dtype matmuls, fp32 accumulation.
     """
-    g = g_ref[...]
-    L, C = g.shape
     nk = 2 * r + 1
-
-    # correlation orientation: out[p] += in[p + (dy,dx)] * K[c+dy,c+dx]
-    cols = [shift_px(g, -dx, _hmask(L, W, -dx).astype(g.dtype))
-            for dx in range(-r, r + 1)]
-    G = jnp.concatenate(cols, axis=1)            # (L, nk*C)
-
-    acc = None
-    for j, dy in enumerate(range(-r, r + 1)):
-        s = -dy * W
-        if s == 0:
-            sh = G
-        elif s > 0:
-            sh = jnp.concatenate(
-                [jnp.zeros((s, nk * C), G.dtype), G[:-s]], axis=0)
-        else:
-            sh = jnp.concatenate(
-                [G[-s:], jnp.zeros((-s, nk * C), G.dtype)], axis=0)
-        contrib = jax.lax.dot_general(
-            sh, m_ref[j].astype(g.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = contrib if acc is None else acc + contrib
-
+    L, C = g_ref.shape[1:]
+    C2 = c_ref.shape[1]
     bn_a = c_ref[0:1, :]
     bn_b = c_ref[1:2, :]
     psi_w = c_ref[2:3, :]
@@ -91,28 +75,48 @@ def _lgag_kernel(W, r, g_ref, m_ref, c_ref, out_ref):
     a2 = c_ref[3, 1]
     c2 = c_ref[3, 2]
 
-    relu = jnp.maximum(acc * bn_a + bn_b, 0.0)
-    p = jnp.sum(relu * psi_w, axis=1, keepdims=True)    # 1x1 conv to 1 ch
-    p = jax.nn.sigmoid(a2 * (p + psi_bias) + c2)
-    out_ref[...] = jnp.broadcast_to(p, (L, 8)).astype(out_ref.dtype)
+    for b in range(G):
+        g = g_ref[b]
+        acc = None
+        # correlation orientation: out[p] += in[p + (dy,dx)] * K[...]
+        for i, dx in enumerate(range(-r, r + 1)):
+            Q = jax.lax.dot_general(
+                g, m_ref[i].astype(g.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (L, nk*C2) f32
+            mask = _hmask(L, W, -dx)
+            for j, dy in enumerate(range(-r, r + 1)):
+                sl = Q[:, j * C2:(j + 1) * C2]
+                v = shift_px(sl, -(dy * W + dx), mask)
+                acc = v if acc is None else acc + v
+
+        relu = jnp.maximum(acc * bn_a + bn_b, 0.0)
+        p = jnp.sum(relu * psi_w, axis=1, keepdims=True)  # 1x1 conv
+        p = jax.nn.sigmoid(a2 * (p + psi_bias) + c2)
+        out_ref[b] = jnp.broadcast_to(p, (L, 8)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "r", "interpret"))
 def _lgag_call(g2, M, consts, W, r, interpret=False):
     B, L, C = g2.shape
-    nk, nkC, C2 = M.shape
+    nk, _, nkC2 = M.shape
+    # images per grid step: grow while the g block stays under ~1 MiB
+    # (same overhead-amortization policy as the merged scan kernel)
+    G = 1
+    img = L * C * g2.dtype.itemsize
+    while G < 8 and B % (G * 2) == 0 and (G * 2) * img <= (1 << 20):
+        G *= 2
     out = pl.pallas_call(
-        functools.partial(_lgag_kernel, W, r),
-        grid=(B,),
+        functools.partial(_lgag_kernel, W, r, G),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((None, L, C), lambda i: (i, 0, 0),
+            pl.BlockSpec((G, L, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nk, nkC, C2), lambda i: (0, 0, 0),
+            pl.BlockSpec((nk, C, nkC2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, C2), lambda i: (0, 0),
+            pl.BlockSpec((8, nkC2 // nk), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, L, 8), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((G, L, 8), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, L, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -145,8 +149,9 @@ def lgag_psi_eval(g, convs, bn, psi_w, psi_b, psi_bn):
     bias_total = sum(b.astype(jnp.float32) for _, b in convs)
 
     # per-tap dense channel-mix matrices (group c covers input channels
-    # (2c, 2c+1)), row-stacked per dy for the kernel's fat matmuls
-    mats = []
+    # (2c, 2c+1)), lane-stacked per dx for the kernel's matmul-then-
+    # shift formulation: Mstk[i][:, j*C2:(j+1)*C2] = tap (dy_j, dx_i)
+    mats = {}
     for dy in range(-2, 3):
         for dx in range(-2, 3):
             w = K[2 + dy, 2 + dx]                       # (2, C2)
@@ -154,9 +159,10 @@ def lgag_psi_eval(g, convs, bn, psi_w, psi_b, psi_bn):
             idx = np.arange(C2)
             M = M.at[2 * idx, idx].set(w[0])
             M = M.at[2 * idx + 1, idx].set(w[1])
-            mats.append(M)
-    Mstk = jnp.stack([jnp.concatenate(mats[j * 5:(j + 1) * 5], axis=0)
-                      for j in range(5)])               # (5, 5*C, C2)
+            mats[(dy, dx)] = M
+    Mstk = jnp.stack([jnp.concatenate(
+        [mats[(dy, dx)] for dy in range(-2, 3)], axis=1)
+        for dx in range(-2, 3)])                        # (5, C, 5*C2)
 
     eps = 1e-5
     a1 = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
