@@ -109,8 +109,10 @@ class LGAG(nn.Module):
         psi_p = _ConvP(k=1, cin_g=self.f_int, cout=1, name="psi_conv")
         psi_bn = _BNP(c=1, name="psi_bn")
 
+        import os
         fuse = (jax.devices()[0].platform == "tpu" and not train
-                and gsz == 2 and self.f_int * 2 == C)
+                and gsz == 2 and self.f_int * 2 == C
+                and os.environ.get("CEIGM_LGAG", "1") == "1")
         if fuse:
             from ceigm_unet_tpu.ops.tapconv import lgag_psi_eval
             psi = lgag_psi_eval(

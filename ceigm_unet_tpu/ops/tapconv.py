@@ -50,24 +50,27 @@ def _hmask(L, W, dx):
 def _lgag_kernel(W, r, G, g_ref, m_ref, c_ref, out_ref):
     """G batch items: g (G, L, C) -> psi (G, L, 8) (column-broadcast).
 
-    m_ref: (2r+1, C, (2r+1)*C2) per-dx channel-mix blocks (all six convs
-    folded; block i's lane-slice j holds the (dy_j, dx_i) tap weights);
+    m_ref: (2r+1, 2r+1, C, C2) per-tap channel-mix blocks (all six convs
+    folded; block [i, j] holds the (dy_j, dx_i) tap weights);
     c_ref: (8, C2) rows [bn_a, bn_b, psi_w, psi_scalars...].
 
     Shift-traffic note (r3): the previous design lane-concatenated k
     dx-shifted copies of g and row-shifted the fat (L, k*C) block per dy
     (~11M VPU element-moves/image at the finest gate). Shifts along L
-    commute with the row-wise channel-mix matmul, so here each dx block
-    is matmul'ed FIRST and the k*k taps become sublane shifts of narrow
-    (L, C2) slices (~2.5M moves). A tap's combined shift by dy*W+dx with
-    the dest-column mask is exact: a source crossing a row edge lands
-    with px+dx outside [0, W), which the mask kills; py+dy off the image
-    with px+dx valid implies the flat index is also off the array.
-    Input-dtype matmuls, fp32 accumulation.
+    commute with the row-wise channel-mix matmul, so here each tap is
+    matmul'ed FIRST and the k*k taps become sublane shifts of narrow
+    (L, C2) slices (~2.5M moves). The taps run as k*k separate (C, C2)
+    matmuls rather than k fat (C, k*C2) ones with lane slicing: slicing
+    a non-128-multiple C2 out of the fat product gives the shift concat
+    an offset-layout operand, which Mosaic refuses to lower ("offset
+    mismatch on non-concat dimension" — hit on the real toolchain at the
+    W=14 gate, C2=58: offset 174 mod 128 = 46). A tap's combined shift
+    by dy*W+dx with the dest-column mask is exact: a source crossing a
+    row edge lands with px+dx outside [0, W), which the mask kills;
+    py+dy off the image with px+dx valid implies the flat index is also
+    off the array. Input-dtype matmuls, fp32 accumulation.
     """
-    nk = 2 * r + 1
     L, C = g_ref.shape[1:]
-    C2 = c_ref.shape[1]
     bn_a = c_ref[0:1, :]
     bn_b = c_ref[1:2, :]
     psi_w = c_ref[2:3, :]
@@ -80,13 +83,13 @@ def _lgag_kernel(W, r, G, g_ref, m_ref, c_ref, out_ref):
         acc = None
         # correlation orientation: out[p] += in[p + (dy,dx)] * K[...]
         for i, dx in enumerate(range(-r, r + 1)):
-            Q = jax.lax.dot_general(
-                g, m_ref[i].astype(g.dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (L, nk*C2) f32
             mask = _hmask(L, W, -dx)
             for j, dy in enumerate(range(-r, r + 1)):
-                sl = Q[:, j * C2:(j + 1) * C2]
-                v = shift_px(sl, -(dy * W + dx), mask)
+                Q = jax.lax.dot_general(
+                    g, m_ref[i, j].astype(g.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (L, C2) f32
+                v = shift_px(Q, -(dy * W + dx), mask)
                 acc = v if acc is None else acc + v
 
         relu = jnp.maximum(acc * bn_a + bn_b, 0.0)
@@ -98,7 +101,7 @@ def _lgag_kernel(W, r, G, g_ref, m_ref, c_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("W", "r", "interpret"))
 def _lgag_call(g2, M, consts, W, r, interpret=False):
     B, L, C = g2.shape
-    nk, _, nkC2 = M.shape
+    nk, _, _, C2 = M.shape
     # images per grid step: grow while the g block stays under ~1 MiB
     # (same overhead-amortization policy as the merged scan kernel)
     G = 1
@@ -111,9 +114,9 @@ def _lgag_call(g2, M, consts, W, r, interpret=False):
         in_specs=[
             pl.BlockSpec((G, L, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nk, C, nkC2), lambda i: (0, 0, 0),
+            pl.BlockSpec((nk, nk, C, C2), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, nkC2 // nk), lambda i: (0, 0),
+            pl.BlockSpec((8, C2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((G, L, 8), lambda i: (i, 0, 0),
@@ -149,8 +152,8 @@ def lgag_psi_eval(g, convs, bn, psi_w, psi_b, psi_bn):
     bias_total = sum(b.astype(jnp.float32) for _, b in convs)
 
     # per-tap dense channel-mix matrices (group c covers input channels
-    # (2c, 2c+1)), lane-stacked per dx for the kernel's matmul-then-
-    # shift formulation: Mstk[i][:, j*C2:(j+1)*C2] = tap (dy_j, dx_i)
+    # (2c, 2c+1)), pre-split per tap for the kernel's matmul-then-shift
+    # formulation: Mstk[i, j] = tap (dy_j, dx_i)
     mats = {}
     for dy in range(-2, 3):
         for dx in range(-2, 3):
@@ -160,9 +163,9 @@ def lgag_psi_eval(g, convs, bn, psi_w, psi_b, psi_bn):
             M = M.at[2 * idx, idx].set(w[0])
             M = M.at[2 * idx + 1, idx].set(w[1])
             mats[(dy, dx)] = M
-    Mstk = jnp.stack([jnp.concatenate(
-        [mats[(dy, dx)] for dy in range(-2, 3)], axis=1)
-        for dx in range(-2, 3)])                        # (5, C, 5*C2)
+    Mstk = jnp.stack([jnp.stack(
+        [mats[(dy, dx)] for dy in range(-2, 3)])
+        for dx in range(-2, 3)])                        # (5, 5, C, C2)
 
     eps = 1e-5
     a1 = bn["scale"] * jax.lax.rsqrt(bn["var"] + eps)
