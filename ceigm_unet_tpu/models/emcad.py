@@ -114,15 +114,14 @@ class LGAG(nn.Module):
                 and gsz == 2 and self.f_int * 2 == C
                 and os.environ.get("CEIGM_LGAG", "1") == "1")
         if fuse:
-            from ceigm_unet_tpu.ops.tapconv import lgag_psi_eval
-            psi = lgag_psi_eval(
-                g, [(p.kernel, p.bias) for p in ps],
+            from ceigm_unet_tpu.ops.tapconv import lgag_gate_eval
+            return lgag_gate_eval(
+                g, x, [(p.kernel, p.bias) for p in ps],
                 dict(scale=bn.scale, bias=bn.bias, mean=bn.mean.value,
                      var=bn.var.value),
                 psi_p.kernel, psi_p.bias,
                 dict(scale=psi_bn.scale, bias=psi_bn.bias,
                      mean=psi_bn.mean.value, var=psi_bn.var.value))
-            return x * psi.astype(self.dtype)
 
         def gconv(p):
             return jax.lax.conv_general_dilated(

@@ -27,4 +27,4 @@ __all__ = [
 ]
 from ceigm_unet_tpu.ops.quad_scan import (
     scan2d, sscan_dir, sscan_quad_ln, sscan_planar_ln)
-from ceigm_unet_tpu.ops.tapconv import lgag_psi_eval
+from ceigm_unet_tpu.ops.tapconv import lgag_gate_eval

@@ -47,8 +47,14 @@ def _hmask(L, W, dx):
     return ok.astype(jnp.float32)
 
 
-def _lgag_kernel(W, r, G, g_ref, m_ref, c_ref, out_ref):
-    """G batch items: g (G, L, C) -> psi (G, L, 8) (column-broadcast).
+def _lgag_kernel(W, r, G, g_ref, x_ref, m_ref, c_ref, out_ref):
+    """G batch items: (g, x) (G, L, C) -> x * psi (G, L, C).
+
+    The gate multiply lives IN the kernel: emitting psi as a (L, 8)
+    column-broadcast plus an XLA-side slice + broadcast-multiply cost
+    ~0.6 ms/gate of pure relayout at the finest decoder gate (r3 trace);
+    reading x here and writing the gated activations is the same HBM
+    traffic the external multiply already paid.
 
     m_ref: (2r+1, 2r+1, C, C2) per-tap channel-mix blocks (all six convs
     folded; block [i, j] holds the (dy_j, dx_i) tap weights);
@@ -95,11 +101,11 @@ def _lgag_kernel(W, r, G, g_ref, m_ref, c_ref, out_ref):
         relu = jnp.maximum(acc * bn_a + bn_b, 0.0)
         p = jnp.sum(relu * psi_w, axis=1, keepdims=True)  # 1x1 conv
         p = jax.nn.sigmoid(a2 * (p + psi_bias) + c2)
-        out_ref[b] = jnp.broadcast_to(p, (L, 8)).astype(out_ref.dtype)
+        out_ref[b] = (x_ref[b].astype(jnp.float32) * p).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "r", "interpret"))
-def _lgag_call(g2, M, consts, W, r, interpret=False):
+def _lgag_call(g2, x2, M, consts, W, r, interpret=False):
     B, L, C = g2.shape
     nk, _, _, C2 = M.shape
     # images per grid step: grow while the g block stays under ~1 MiB
@@ -108,10 +114,12 @@ def _lgag_call(g2, M, consts, W, r, interpret=False):
     img = L * C * g2.dtype.itemsize
     while G < 8 and B % (G * 2) == 0 and (G * 2) * img <= (1 << 20):
         G *= 2
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_lgag_kernel, W, r, G),
         grid=(B // G,),
         in_specs=[
+            pl.BlockSpec((G, L, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((G, L, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nk, nk, C, C2), lambda i: (0, 0, 0, 0),
@@ -119,24 +127,23 @@ def _lgag_call(g2, M, consts, W, r, interpret=False):
             pl.BlockSpec((8, C2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, L, 8), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((G, L, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, L, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, L, C), x2.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(g2, M, consts)
-    return out[..., :1]
+    )(g2, x2, M, consts)
 
 
-def lgag_psi_eval(g, convs, bn, psi_w, psi_b, psi_bn):
-    """Fused eval-mode LGAG psi map.
+def lgag_gate_eval(g, x, convs, bn, psi_w, psi_b, psi_bn):
+    """Fused eval-mode LGAG gate: returns x * psi, psi fused in-kernel.
 
-    g: (B, H, W, C). convs: list of (kernel, bias) for the six grouped
+    g, x: (B, H, W, C). convs: list of (kernel, bias) for the six grouped
     convs [W_g_1, W_g_3, W_g_5, W_x_1, W_x_3, W_x_5], each kernel
     (k, k, 2, C2) flax-layout with feature_group_count = C2 = C // 2.
     bn / psi_bn: dicts with scale, bias, mean, var. psi_w: (1, 1, C2, 1).
-    Returns psi (B, H, W, 1) fp32 == sigmoid(psi_bn(conv(relu(...)))).
+    Returns x * sigmoid(psi_bn(conv(relu(...)))) in x.dtype, (B, H, W, C).
     """
     B, H, Wd, C = g.shape
     C2 = C // 2
@@ -186,6 +193,6 @@ def lgag_psi_eval(g, convs, bn, psi_w, psi_b, psi_bn):
     consts = consts.at[3, 2].set(c2v)
 
     interpret = jax.default_backend() != "tpu"
-    psi = _lgag_call(g.reshape(B, L, C), Mstk, consts, Wd, 2,
-                     interpret=interpret)
-    return psi.reshape(B, H, Wd, 1)
+    out = _lgag_call(g.reshape(B, L, C), x.reshape(B, L, C), Mstk,
+                     consts, Wd, 2, interpret=interpret)
+    return out.reshape(B, H, Wd, C)

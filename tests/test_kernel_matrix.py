@@ -280,7 +280,7 @@ def test_lgag_tapconv_bf16():
     module path, loose tolerance (docs/PARITY.md numerics note — this is
     the regime the perf model actually runs)."""
     from ceigm_unet_tpu.models.emcad import LGAG
-    from ceigm_unet_tpu.ops.tapconv import lgag_psi_eval
+    from ceigm_unet_tpu.ops.tapconv import lgag_gate_eval
 
     rng = np.random.default_rng(0)
     C = 16
@@ -298,17 +298,16 @@ def test_lgag_tapconv_bf16():
 
     p = variables["params"]
     st = variables["batch_stats"]
-    psi = lgag_psi_eval(
-        g.astype(jnp.bfloat16),
+    got = np.asarray(lgag_gate_eval(
+        g.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
         [(p[n]["kernel"], p[n]["bias"])
          for n in ("W_g_1", "W_g_3", "W_g_5", "W_x_1", "W_x_3", "W_x_5")],
         dict(scale=p["bn"]["scale"], bias=p["bn"]["bias"],
              mean=st["bn"]["mean"], var=st["bn"]["var"]),
         p["psi_conv"]["kernel"], p["psi_conv"]["bias"],
         dict(scale=p["psi_bn"]["scale"], bias=p["psi_bn"]["bias"],
-             mean=st["psi_bn"]["mean"], var=st["psi_bn"]["var"]))
-    got = np.asarray((x.astype(jnp.bfloat16)
-                      * psi.astype(jnp.bfloat16)).astype(jnp.float32))
+             mean=st["psi_bn"]["mean"], var=st["psi_bn"]["var"])).astype(
+            jnp.float32))
     # psi is a sigmoid in (0, 1); bf16 taps wiggle it by O(1e-2)
     np.testing.assert_allclose(got, want, rtol=3e-2,
                                atol=5e-2 * np.abs(want).max())

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ceigm_unet_tpu.models.emcad import LGAG
-from ceigm_unet_tpu.ops.tapconv import lgag_psi_eval
+from ceigm_unet_tpu.ops.tapconv import lgag_gate_eval
 
 
 def test_lgag_fused_matches_xla():
@@ -25,14 +25,13 @@ def test_lgag_fused_matches_xla():
 
     p = variables["params"]
     st = variables["batch_stats"]
-    psi = lgag_psi_eval(
-        g,
+    got = np.asarray(lgag_gate_eval(
+        g, x,
         [(p[n]["kernel"], p[n]["bias"])
          for n in ("W_g_1", "W_g_3", "W_g_5", "W_x_1", "W_x_3", "W_x_5")],
         dict(scale=p["bn"]["scale"], bias=p["bn"]["bias"],
              mean=st["bn"]["mean"], var=st["bn"]["var"]),
         p["psi_conv"]["kernel"], p["psi_conv"]["bias"],
         dict(scale=p["psi_bn"]["scale"], bias=p["psi_bn"]["bias"],
-             mean=st["psi_bn"]["mean"], var=st["psi_bn"]["var"]))
-    got = np.asarray(x * psi)
+             mean=st["psi_bn"]["mean"], var=st["psi_bn"]["var"])))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
