@@ -98,9 +98,11 @@ def main():
                  ("CEIGM_GS_BAND", "0"), ("CEIGM_GS_FUSED", "0"),
                  ("CEIGM_QUAD", "0")]
     slices_per_sec = None
+    active = []
     for fb in fallbacks:
         if fb is not None:
             os.environ[fb[0]] = fb[1]
+            active.append(fb[0])
             print(f"bench: retrying with {fb[0]}={fb[1]}", file=sys.stderr)
         try:
             slices_per_sec = _measure()
@@ -110,11 +112,16 @@ def main():
                   f"{str(e)[:500]}", file=sys.stderr)
     if slices_per_sec is None:
         raise SystemExit("bench: all fallback paths failed")
+    # "fallbacks" must be [] on a healthy run: a non-empty list means a
+    # custom kernel failed to lower on this toolchain and the number was
+    # measured on a degraded path (r3 verdict: a silent retry would read
+    # as an unexplained perf regression in a later round)
     print(json.dumps({
         "metric": "synapse_224_inference",
         "value": round(slices_per_sec, 2),
         "unit": "slices/sec/chip",
         "vs_baseline": round(slices_per_sec / 5000.0, 4),
+        "fallbacks": active,
     }))
 
 

@@ -23,8 +23,23 @@ from ceigm_unet_tpu.data.augment import augment_seg
 from ceigm_unet_tpu.ops.resize import zoom_matrix  # noqa: F401 (shared cache)
 
 
+def _resolve_list_dir(list_dir: str) -> str:
+    """Resolve a split-list directory: as given (cwd-relative) first, then
+    against the repo root, where the official splits are vendored
+    (``lists/lists_{Synapse,ACDC}`` — the reference ships these manifests
+    in gm-unet/lists/; they are data, and runs should work out of the
+    box from any cwd)."""
+    if os.path.isdir(list_dir):
+        return list_dir
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cand = os.path.join(repo_root, list_dir.lstrip("./"))
+    return cand if os.path.isdir(cand) else list_dir
+
+
 def _read_list(list_dir: str, split: str) -> list[str]:
-    with open(os.path.join(list_dir, split + ".txt")) as f:
+    with open(os.path.join(_resolve_list_dir(list_dir),
+                           split + ".txt")) as f:
         return [ln.strip() for ln in f if ln.strip()]
 
 

@@ -79,6 +79,106 @@ def _dw_shift(h, L, W, K, taps):
     return acc
 
 
+def _ffn_mask_chunk(L, W, C, dtype):
+    """(L, C) tap-validity block: column t < 9 holds m_t(p) = 1 where the
+    (dy, dx) = (t//3-1, t%3-1) tap's source pixel p + dy*W + dx is inside
+    the image; columns >= 9 are zero. Matmul'ed against rows b1*k_t this
+    reproduces fc1's bias flowing through the zero-padded depthwise conv
+    EXACTLY (interior pixels see b1*sum(k); edge pixels see fewer taps)."""
+    H = L // W
+    p = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (L, C), 1)
+    py, px = p // W, p % W
+    dy, dx = c // 3 - 1, c % 3 - 1
+    ok = ((c < 9)
+          & (py + dy >= 0) & (py + dy < H)
+          & (px + dx >= 0) & (px + dx < W))
+    return ok.astype(dtype)
+
+
+def _ffn_mm_kernel(L, W, G, C, x_ref, w1s_ref, w2_ref, consts_ref,
+                   out_ref):
+    """Matmul-first fused PVT2FFN: fc1 and the depthwise 3x3 are ONE
+    GEMM over shifted copies of the NARROW (L, C) input.
+
+    dw3x3(x @ W1)[p] = sum_t (x[p+t] @ W1) * k_t = sum_t shift_t(x) @
+    (W1 * k_t) — a 3x3 *full* conv with per-tap weight matrices. The
+    shifts move C lanes instead of HID (8x less VPU move traffic than
+    the hidden-shift formulation this replaces, which lost its model A/B
+    by running the taps as 9 wide fp32 FMAs on the VPU — same lesson as
+    the LGAG matmul-first rewrite, commit 2db59f5), and the tap
+    reduction runs on the MXU with full 128-lane K tiles: chunks
+    [shift_0(x) .. shift_8(x), maskblk] each (L, C) are lane-concatenated
+    in groups of 128//C and matmul'ed against the stacked (10*C, HID)
+    weight, accumulating in fp32. Cost: ~10x fc1's FLOPs on the MXU
+    (~0.17 ms/image-block at stage-1 b=1) against the ~1.4 ms/block HBM
+    mega-fusion it displaces; the hidden tensor never exists in HBM.
+
+    consts rows: [dwb, b2-in-head]."""
+    w2 = w2_ref[...]
+    maskblk = _ffn_mask_chunk(L, W, C, x_ref.dtype)
+    gs = max(1, 128 // C)       # chunks per concat group (C<=128 divides)
+    mm = _col_mask(L, W, -1).astype(x_ref.dtype)
+    mp = _col_mask(L, W, 1).astype(x_ref.dtype)
+    for g in range(G):
+        x = x_ref[g]
+        chunks = []
+        for t in range(9):
+            dy, dx = t // 3 - 1, t % 3 - 1
+            cm = mm if dx < 0 else (mp if dx > 0 else None)
+            sh = _shift_sub(x, dy * W + dx)
+            chunks.append(sh if cm is None else sh * cm)
+        chunks.append(maskblk)
+        acc = None
+        for i in range(0, 10, gs):
+            n = min(gs, 10 - i)
+            xg = (chunks[i] if n == 1
+                  else jnp.concatenate(chunks[i:i + n], axis=1))
+            prod = jax.lax.dot_general(
+                xg, w1s_ref[i * C:(i + n) * C, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = prod if acc is None else acc + prod
+        gact = fast_gelu(acc + consts_ref[0:1, :])
+        o = jax.lax.dot_general(gact.astype(w2.dtype), w2,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_ref[g] = (o + consts_ref[1:2, :out_ref.shape[2]]).astype(
+            out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
+def _ffn_mm_call(x, w1s, w2, consts, H, W, interpret=False):
+    B, L, C = x.shape
+    HID = w2.shape[0]
+    # images per grid step: amortize the ~1.5 us/step fixed cost while
+    # keeping the fp32 hidden accumulator under ~32 MiB of VMEM
+    G = 1
+    hid_bytes = L * HID * 4
+    while G < 8 and B % (G * 2) == 0 and (G * 2) * hid_bytes <= (32 << 20):
+        G *= 2
+    spec_x = pl.BlockSpec((G, L, C), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_ffn_mm_kernel, L, W, G, C),
+        grid=(B // G,),
+        in_specs=[
+            spec_x,
+            pl.BlockSpec((10 * C, HID), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HID, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, HID), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec_x,
+        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1s, w2, consts)
+
+
 def _ffn_kernel(L, W, G, x_ref, w1_ref, w2_ref, dwk_ref, consts_ref,
                 out_ref):
     # consts rows: [b1, dwb] each (1, HID); b2 (1, C) in its own row tail
@@ -338,9 +438,28 @@ def pvt2ffn_fused(x, w1, b1, dwk, dwb, w2, b2, H, W):
 
 
 def _ffn_fwd(x, w1, b1, dwk, dwb, w2, b2, H, W):
+    import os
     interpret = jax.default_backend() != "tpu"
     HID = w1.shape[1]
+    C = x.shape[-1]
     dt = x.dtype
+    mm_ok = (C % 128 == 0) or (C <= 128 and 128 % C == 0)
+    if mm_ok and os.environ.get("CEIGM_FFN_MM", "1") == "1":
+        # matmul-first formulation: stacked tap weights (10*C, HID) —
+        # rows [t*C:(t+1)*C] = W1 * k_t; rows [9*C + t] = b1 * k_t (the
+        # mask chunk's bias rows); remaining tail rows zero
+        k9 = dwk.reshape(9, HID).astype(jnp.float32)
+        w1f = w1.astype(jnp.float32)
+        w1s = jnp.concatenate(
+            [w1f * k9[t:t + 1, :] for t in range(9)]
+            + [jnp.pad(b1.astype(jnp.float32)[None, :] * k9,
+                       ((0, C - 9), (0, 0)))], axis=0)
+        consts = jnp.zeros((2, HID), jnp.float32)
+        consts = consts.at[0, :].set(dwb.astype(jnp.float32))
+        consts = consts.at[1, :b2.shape[0]].set(b2.astype(jnp.float32))
+        y = _ffn_mm_call(x, w1s.astype(dt), w2.astype(dt), consts, H, W,
+                         interpret=interpret)
+        return y, (x, w1, b1, dwk, dwb, w2, b2)
     consts = jnp.zeros((3, HID), jnp.float32)
     consts = consts.at[0, :].set(b1.astype(jnp.float32))
     consts = consts.at[1, :].set(dwb.astype(jnp.float32))

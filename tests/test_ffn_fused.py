@@ -28,10 +28,12 @@ def _inputs(H, W, C, HID, dtype, seed=0):
     return x, w1, b1, dwk, dwb, w2, b2
 
 
+@pytest.mark.parametrize("mm", ["0", "1"])   # hidden-shift / matmul-first
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize("HWC", [(8, 10, 16, 32),   # odd small
                                  (56, 56, 64, 512)])  # stage-1 production
-def test_ffn_forward(HWC, dtype):
+def test_ffn_forward(HWC, dtype, mm, monkeypatch):
+    monkeypatch.setenv("CEIGM_FFN_MM", mm)
     H, W, C, HID = HWC
     args = _inputs(H, W, C, HID, dtype, seed=C)
     got = np.asarray(pvt2ffn_fused(*args, H, W), np.float32)
@@ -39,6 +41,18 @@ def test_ffn_forward(HWC, dtype):
     scale = max(1.0, np.abs(want).max())
     np.testing.assert_allclose(got, want, rtol=TOL[dtype]["rtol"],
                                atol=TOL[dtype]["atol"] * scale)
+
+
+def test_ffn_forward_mm_c128():
+    """Stage-2-like channel count (C=128: one chunk per matmul group) on
+    the matmul-first kernel, reduced spatial for CI speed."""
+    H, W, C, HID = 14, 14, 128, 1024
+    args = _inputs(H, W, C, HID, jnp.bfloat16, seed=7)
+    got = np.asarray(pvt2ffn_fused(*args, H, W), np.float32)
+    want = np.asarray(_ffn_ref(*args, H, W), np.float32)
+    scale = max(1.0, np.abs(want).max())
+    np.testing.assert_allclose(got, want, rtol=TOL[jnp.bfloat16]["rtol"],
+                               atol=TOL[jnp.bfloat16]["atol"] * scale)
 
 
 def test_ffn_grads():

@@ -168,3 +168,95 @@ def test_grad_and_adamw_step_parity(setup):
     # one conv leaf at 0.4% of a step, everything else < 3e-7)
     _compare_trees(new_params, want_params, rtol=1e-5, floor_frac=2e-6,
                    atol_abs=1e-2 * 5e-4, what="post-AdamW parameters")
+
+
+@pytest.mark.parametrize("optname", ["sgd", "adamw"])
+def test_training_trajectory_parity(setup, optname):
+    """N identical optimizer steps on fixed synthetic batches: per-step
+    loss and final logits vs torch (the strongest dataset-free proxy for
+    the Dice-parity target — compounding error is what threatens Dice
+    parity, not any single step; reference telemetry contract:
+    gm-unet/train_synapse.py loss logging per iteration).
+
+    Both sides run eval-mode normalization (frozen BN stats, drop-path
+    off) so the differential isolates the grad + optimizer trajectory;
+    BN-stat updates are covered by test_dp_equivalence. Tolerances grow
+    linearly with the step index (PARITY.md §trajectory-tolerance).
+    """
+    import torch
+    net, variables, x, labels = setup
+    from ceigm_unet_tpu.models import build_model
+    from ceigm_unet_tpu.convert import convert_msvm_unet_state_dict
+    import copy
+    import optax
+
+    N = 20
+    LR = 1e-4
+    rng = np.random.default_rng(13)
+    xs = rng.standard_normal((2, 2, 1, IMG, IMG)).astype(np.float32)
+    ys = rng.integers(0, 9, (2, 2, IMG, IMG)).astype(np.int64)
+
+    # ---- torch trajectory (fresh copy: the fixture net is shared)
+    net_t = copy.deepcopy(net)
+    net_t.eval()
+    if optname == "sgd":
+        opt = torch.optim.SGD(net_t.parameters(), lr=LR)
+    else:
+        opt = torch.optim.AdamW(net_t.parameters(), lr=LR,
+                                betas=(0.9, 0.999), eps=1e-8,
+                                weight_decay=1e-4)
+    losses_t = []
+    for i in range(N):
+        xb = torch.from_numpy(xs[i % 2])
+        yb = torch.from_numpy(ys[i % 2])
+        loss = _torch_dice_ce(net_t(xb), yb)
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        opt.step()
+        losses_t.append(float(loss))
+    with torch.no_grad():
+        final_t = net_t(torch.from_numpy(xs[0])).numpy()
+
+    # ---- jax trajectory (same init via the converter)
+    m = build_model(num_classes=9, scan_backend="assoc")
+    bstats = variables["batch_stats"]
+    xs_j = jnp.transpose(jnp.asarray(xs), (0, 1, 3, 4, 2))
+    ys_j = jnp.asarray(ys.astype(np.int32))
+
+    if optname == "sgd":
+        tx = optax.sgd(LR)
+    else:
+        from ceigm_unet_tpu.train.trainstep import make_optimizer
+        tx = make_optimizer(lambda step: LR, weight_decay=1e-4)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        def loss_fn(p):
+            return _jax_loss(m, {"params": p, "batch_stats": bstats},
+                             xb, yb)
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = variables["params"]
+    opt_state = tx.init(params)
+    losses_j = []
+    for i in range(N):
+        params, opt_state, loss = step(params, opt_state,
+                                       xs_j[i % 2], ys_j[i % 2])
+        losses_j.append(float(loss))
+    final_j = np.transpose(np.asarray(m.apply(
+        {"params": params, "batch_stats": bstats}, xs_j[0], train=False)),
+        (0, 3, 1, 2))
+
+    # per-step losses: fp32 error compounds roughly linearly here
+    # (measured: see PARITY.md §trajectory-tolerance)
+    for i, (lj, lt) in enumerate(zip(losses_j, losses_t)):
+        tol = 2e-4 * (1 + i)
+        assert abs(lj - lt) <= tol * max(1.0, abs(lt)), (
+            f"step {i}: jax {lj} vs torch {lt} (tol {tol})")
+
+    np.testing.assert_allclose(
+        final_j, final_t, rtol=5e-3,
+        atol=1e-6 + 5e-3 * np.abs(final_t).max(),
+        err_msg=f"final logits after {N} {optname} steps")
