@@ -203,10 +203,10 @@ class Pvt2Ffn(nn.Module):
             w2 = _DenseParams(self.hidden, c, trunc_normal(), name="fc2")
             from ceigm_unet_tpu.ops.ffn_pallas import pvt2ffn_fused
             y = pvt2ffn_fused(
-                x.astype(self.dtype).reshape(B, H * W, c),
+                x.astype(self.dtype).reshape(B, H, W, c),
                 w1.kernel, w1.bias, dwp.kernel, dwp.bias,
-                w2.kernel, w2.bias, H, W)
-            return y if flat else y.reshape(B, H, W, c)
+                w2.kernel, w2.bias)
+            return y.reshape(B, H * W, c) if flat else y
         if wide:
             x = PadDense(self.hidden, true_in=self.true_c,
                          kernel_init=trunc_normal(), dtype=self.dtype,
@@ -267,22 +267,32 @@ def _use_fused_cffn() -> bool:
             and _resolve_backend("auto") == "pallas")
 
 
+def _mm_ffn_eligible(c: int) -> bool:
+    """Channel counts the matmul-first FFN kernel handles: chunks of C
+    lanes concatenate into full 128-lane MXU K-tiles (encoder stages 1-2
+    in the live configs: c = 64 / 128)."""
+    return c > 0 and (c % 128 == 0 or (c <= 128 and 128 % c == 0))
+
+
 def _use_fused_ffn(c: int = 0) -> bool:
     """Gate for the VMEM-resident fused PVT2FFN kernel
-    (ops/ffn_pallas.py). CEIGM_FFN: "0" off, "1" everywhere, or an
-    integer N > 1 = fused only where the model dim c >= N. At stage 1
-    (c=64) the model-level A/B (r3) measured the kernel at 10.5 ms vs
-    the ~9.5 ms of XLA mega-fusions it replaces — XLA's dwconv+fc2+
-    LN-stat fusions run near HBM bandwidth there. At stage 3 (c=348,
-    14x14) the same XLA fusion emits batch-in-lanes and runs ~3.7x off
-    the floor (r3 b128 trace: fc2 fusion 0.64 ms/block), so the wide
-    narrow-spatial stages are gated separately."""
+    (ops/ffn_pallas.py). CEIGM_FFN: "0" off, "1" = stages where the
+    matmul-first kernel applies (see _mm_ffn_eligible — the r3
+    hidden-shift kernel lost its model A/B, so only the mm formulation
+    is default-worthy), "all" everywhere, or an integer N > 1 = fused
+    only where the model dim c >= N. At stage 1 (c=64) XLA's
+    dwconv+fc2+LN-stat mega-fusion streams the 205 MB hidden ~2.5
+    passes/block (~1.4 ms/block, r3 HLO/trace); the mm kernel keeps the
+    hidden in VMEM and runs the taps as full-tile MXU GEMMs."""
     import os
     from ceigm_unet_tpu.ops.selective_scan import _resolve_backend
     v = os.environ.get("CEIGM_FFN", "0")
     if v == "0" or _resolve_backend("auto") != "pallas":
         return False
-    return v == "1" or (v.isdigit() and c >= int(v))
+    if v == "1":
+        return (_mm_ffn_eligible(c)
+                if os.environ.get("CEIGM_FFN_MM", "1") == "1" else True)
+    return v == "all" or (v.isdigit() and c >= int(v))
 
 
 class InceptionDWConvMultiScale(nn.Module):

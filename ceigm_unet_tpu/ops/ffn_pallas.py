@@ -117,11 +117,11 @@ def _ffn_mm_kernel(L, W, G, C, x_ref, w1s_ref, w2_ref, consts_ref,
     consts rows: [dwb, b2-in-head]."""
     w2 = w2_ref[...]
     maskblk = _ffn_mask_chunk(L, W, C, x_ref.dtype)
-    gs = max(1, 128 // C)       # chunks per concat group (C<=128 divides)
     mm = _col_mask(L, W, -1).astype(x_ref.dtype)
     mp = _col_mask(L, W, 1).astype(x_ref.dtype)
+    w1s = w1s_ref[...]
     for g in range(G):
-        x = x_ref[g]
+        x = x_ref[g].reshape(L, C)
         chunks = []
         for t in range(9):
             dy, dx = t // 3 - 1, t % 3 - 1
@@ -129,27 +129,25 @@ def _ffn_mm_kernel(L, W, G, C, x_ref, w1s_ref, w2_ref, consts_ref,
             sh = _shift_sub(x, dy * W + dx)
             chunks.append(sh if cm is None else sh * cm)
         chunks.append(maskblk)
-        acc = None
-        for i in range(0, 10, gs):
-            n = min(gs, 10 - i)
-            xg = (chunks[i] if n == 1
-                  else jnp.concatenate(chunks[i:i + n], axis=1))
-            prod = jax.lax.dot_general(
-                xg, w1s_ref[i * C:(i + n) * C, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = prod if acc is None else acc + prod
+        # one 10*C-wide operand, one full-K-tile GEMM (fp32 accumulate)
+        x10 = jnp.concatenate(chunks, axis=1)
+        acc = jax.lax.dot_general(x10, w1s, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
         gact = fast_gelu(acc + consts_ref[0:1, :])
         o = jax.lax.dot_general(gact.astype(w2.dtype), w2,
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        out_ref[g] = (o + consts_ref[1:2, :out_ref.shape[2]]).astype(
-            out_ref.dtype)
+        out_ref[g] = (o + consts_ref[1:2, :out_ref.shape[3]]).astype(
+            out_ref.dtype).reshape(out_ref.shape[1:3] + (C,))
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
-def _ffn_mm_call(x, w1s, w2, consts, H, W, interpret=False):
-    B, L, C = x.shape
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _ffn_mm_call(x, w1s, w2, consts, interpret=False):
+    """x: 4-D NHWC (B, H, W, C) — the kernel consumes the model's native
+    layout directly (a (B, L, C) boundary costs ~2 ms of relayout copies
+    model-wide, r4 trace) and flattens H, W inside VMEM."""
+    B, H, W, C = x.shape
+    L = H * W
     HID = w2.shape[0]
     # images per grid step: amortize the ~1.5 us/step fixed cost while
     # keeping the fp32 hidden accumulator under ~32 MiB of VMEM
@@ -157,7 +155,7 @@ def _ffn_mm_call(x, w1s, w2, consts, H, W, interpret=False):
     hid_bytes = L * HID * 4
     while G < 8 and B % (G * 2) == 0 and (G * 2) * hid_bytes <= (32 << 20):
         G *= 2
-    spec_x = pl.BlockSpec((G, L, C), lambda i: (i, 0, 0),
+    spec_x = pl.BlockSpec((G, H, W, C), lambda i: (i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_ffn_mm_kernel, L, W, G, C),
@@ -172,7 +170,7 @@ def _ffn_mm_call(x, w1s, w2, consts, H, W, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=spec_x,
-        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -425,23 +423,23 @@ def _ffn_ref(x, w1, b1, dwk, dwb, w2, b2, H, W):
     return (o + b2.astype(o.dtype)).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def pvt2ffn_fused(x, w1, b1, dwk, dwb, w2, b2, H, W):
-    """Fused fc1 -> dw3x3 -> GELU -> fc2 on (B, H*W, C) pixel-flat input.
+@jax.custom_vjp
+def pvt2ffn_fused(x, w1, b1, dwk, dwb, w2, b2):
+    """Fused fc1 -> dw3x3 -> GELU -> fc2 on NHWC (B, H, W, C) input.
 
     w1 (C, HID), b1 (HID), dwk (3, 3, 1, HID), dwb (HID), w2 (HID, C),
-    b2 (C). Returns (B, H*W, C) in x.dtype. The hidden tensor stays in
+    b2 (C). Returns (B, H, W, C) in x.dtype. The hidden tensor stays in
     VMEM (never hits HBM); backward recomputes through the XLA
     composition.
     """
-    return _ffn_fwd(x, w1, b1, dwk, dwb, w2, b2, H, W)[0]
+    return _ffn_fwd(x, w1, b1, dwk, dwb, w2, b2)[0]
 
 
-def _ffn_fwd(x, w1, b1, dwk, dwb, w2, b2, H, W):
+def _ffn_fwd(x, w1, b1, dwk, dwb, w2, b2):
     import os
     interpret = jax.default_backend() != "tpu"
     HID = w1.shape[1]
-    C = x.shape[-1]
+    B, H, W, C = x.shape
     dt = x.dtype
     mm_ok = (C % 128 == 0) or (C <= 128 and 128 % C == 0)
     if mm_ok and os.environ.get("CEIGM_FFN_MM", "1") == "1":
@@ -457,24 +455,27 @@ def _ffn_fwd(x, w1, b1, dwk, dwb, w2, b2, H, W):
         consts = jnp.zeros((2, HID), jnp.float32)
         consts = consts.at[0, :].set(dwb.astype(jnp.float32))
         consts = consts.at[1, :b2.shape[0]].set(b2.astype(jnp.float32))
-        y = _ffn_mm_call(x, w1s.astype(dt), w2.astype(dt), consts, H, W,
+        y = _ffn_mm_call(x, w1s.astype(dt), w2.astype(dt), consts,
                          interpret=interpret)
         return y, (x, w1, b1, dwk, dwb, w2, b2)
     consts = jnp.zeros((3, HID), jnp.float32)
     consts = consts.at[0, :].set(b1.astype(jnp.float32))
     consts = consts.at[1, :].set(dwb.astype(jnp.float32))
     consts = consts.at[2, :b2.shape[0]].set(b2.astype(jnp.float32))
-    y = _ffn_call(x, w1.astype(dt), w2.astype(dt),
+    y = _ffn_call(x.reshape(B, H * W, C), w1.astype(dt), w2.astype(dt),
                   dwk.reshape(9, HID).astype(dt), consts, H, W,
                   interpret=interpret)
-    return y, (x, w1, b1, dwk, dwb, w2, b2)
+    return y.reshape(B, H, W, C), (x, w1, b1, dwk, dwb, w2, b2)
 
 
-def _ffn_bwd(H, W, res, ct):
+def _ffn_bwd(res, ct):
     x, w1, b1, dwk, dwb, w2, b2 = res
+    B, H, W, C = x.shape
     _, vjp = jax.vjp(
-        lambda *a: _ffn_ref(*a, H, W), x, w1, b1, dwk, dwb, w2, b2)
-    return vjp(ct)
+        lambda xf, *a: _ffn_ref(xf, *a, H, W).reshape(B, H, W, C),
+        x.reshape(B, H * W, C), w1, b1, dwk, dwb, w2, b2)
+    outs = vjp(ct)
+    return (outs[0].reshape(B, H, W, C),) + tuple(outs[1:])
 
 
 pvt2ffn_fused.defvjp(_ffn_fwd, _ffn_bwd)

@@ -17,10 +17,13 @@ across chips, not just the batch. Two cooperating mechanisms:
    custom VJP) covers it exactly for production meshes, and
    ``quad_group_ss2d_sp`` runs a whole GroupMamba quad block H-sharded.
 
-Under GSPMD the scan's L axis triggers a gather at the scan op itself
-(correct; the surrounding 95% of FLOPs stay sharded), so this module is
-the turn-key full-model path while sp_ss2d handles the scan-bound inner
-loop when the activation no longer fits one chip.
+With ``scan_island=True`` (default) the one op GSPMD cannot partition —
+the scan's recurrence over L — runs as a shard_map island inside the
+jitted model (parallel/sp_context.py routes every QuadGroupSS2D through
+sp_ss2d.quad_group_ss2d_sp): no all-gather of L anywhere in the compiled
+module (asserted by tests/test_sp_model.py on the compiled HLO text).
+``scan_island=False`` keeps the plain-GSPMD behavior (gather at the scan
+op) for A/B and as a fallback for non-quad model variants.
 
 Exactness (forward AND gradients) vs the single-device model is pinned by
 tests/test_sp_model.py on the virtual 8-device CPU mesh.
@@ -28,18 +31,22 @@ tests/test_sp_model.py on the virtual 8-device CPU mesh.
 from __future__ import annotations
 
 import functools
+from contextlib import nullcontext
 from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ceigm_unet_tpu.parallel.sp_context import sp_scan_island
+
 
 def sp_forward(model, variables, x, mesh: Mesh, axis: str = "sp",
-               train: bool = False):
+               train: bool = False, scan_island: bool = True):
     """Run ``model.apply`` with ``x`` (B, H, W, C) H-sharded over
     ``mesh``'s ``axis`` and parameters replicated. Returns logits with
     the same H-sharding. Differentiable (GSPMD partitions the backward
-    pass with the same shardings)."""
+    pass with the same shardings; the scan island's ring scan carries a
+    custom VJP)."""
     xs = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
     vs = jax.device_put(variables, NamedSharding(mesh, P()))
 
@@ -50,12 +57,14 @@ def sp_forward(model, variables, x, mesh: Mesh, axis: str = "sp",
     def f(v, q, train=False):
         return model.apply(v, q, train=train)
 
-    return f(vs, xs, train=train)
+    ctx = sp_scan_island(mesh, axis) if scan_island else nullcontext()
+    with ctx:
+        return f(vs, xs, train=train)
 
 
 def sp_value_and_grad(model, variables, x, labels, mesh: Mesh,
                       axis: str = "sp", ce_weight: float = 0.4,
-                      dc_weight: float = 0.6):
+                      dc_weight: float = 0.6, scan_island: bool = True):
     """Loss + parameter gradients of the DiceCE objective with the image
     H-sharded over the mesh — the training-direction counterpart of
     :func:`sp_forward` (512² DP+SP training building block)."""
@@ -76,4 +85,6 @@ def sp_value_and_grad(model, variables, x, labels, mesh: Mesh,
                                 dc_weight=dc_weight)
         return jax.value_and_grad(loss_fn)(v["params"])
 
-    return f(vs, xs, ls)
+    ctx = sp_scan_island(mesh, axis) if scan_island else nullcontext()
+    with ctx:
+        return f(vs, xs, ls)

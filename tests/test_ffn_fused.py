@@ -28,6 +28,14 @@ def _inputs(H, W, C, HID, dtype, seed=0):
     return x, w1, b1, dwk, dwb, w2, b2
 
 
+def _call_fused(args, H, W):
+    """pvt2ffn_fused with the flat test inputs lifted to its NHWC API."""
+    x = args[0]
+    B, L, C = x.shape
+    y = pvt2ffn_fused(x.reshape(B, H, W, C), *args[1:])
+    return y.reshape(B, L, C)
+
+
 @pytest.mark.parametrize("mm", ["0", "1"])   # hidden-shift / matmul-first
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 @pytest.mark.parametrize("HWC", [(8, 10, 16, 32),   # odd small
@@ -36,7 +44,7 @@ def test_ffn_forward(HWC, dtype, mm, monkeypatch):
     monkeypatch.setenv("CEIGM_FFN_MM", mm)
     H, W, C, HID = HWC
     args = _inputs(H, W, C, HID, dtype, seed=C)
-    got = np.asarray(pvt2ffn_fused(*args, H, W), np.float32)
+    got = np.asarray(_call_fused(args, H, W), np.float32)
     want = np.asarray(_ffn_ref(*args, H, W), np.float32)
     scale = max(1.0, np.abs(want).max())
     np.testing.assert_allclose(got, want, rtol=TOL[dtype]["rtol"],
@@ -48,7 +56,7 @@ def test_ffn_forward_mm_c128():
     the matmul-first kernel, reduced spatial for CI speed."""
     H, W, C, HID = 14, 14, 128, 1024
     args = _inputs(H, W, C, HID, jnp.bfloat16, seed=7)
-    got = np.asarray(pvt2ffn_fused(*args, H, W), np.float32)
+    got = np.asarray(_call_fused(args, H, W), np.float32)
     want = np.asarray(_ffn_ref(*args, H, W), np.float32)
     scale = max(1.0, np.abs(want).max())
     np.testing.assert_allclose(got, want, rtol=TOL[jnp.bfloat16]["rtol"],
@@ -61,11 +69,14 @@ def test_ffn_grads():
     rng = np.random.default_rng(9)
     ct = jnp.asarray(rng.standard_normal((1, H * W, C)), jnp.float32)
 
-    def loss(fn):
-        return lambda *a: jnp.sum(fn(*a, H, W).astype(jnp.float32) * ct)
+    def loss_fused(*a):
+        return jnp.sum(_call_fused(a, H, W).astype(jnp.float32) * ct)
 
-    gk = jax.grad(loss(pvt2ffn_fused), argnums=tuple(range(7)))(*args)
-    gr = jax.grad(loss(_ffn_ref), argnums=tuple(range(7)))(*args)
+    def loss_ref(*a):
+        return jnp.sum(_ffn_ref(*a, H, W).astype(jnp.float32) * ct)
+
+    gk = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
     for n, a, b in zip("x w1 b1 dwk dwb w2 b2".split(), gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4, err_msg=n)
