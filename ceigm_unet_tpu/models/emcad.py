@@ -335,26 +335,13 @@ class Front(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from ceigm_unet_tpu.models.layers import (
-            use_wide, wide_dim, pad_lanes, use_flat_front)
-        wdim = wide_dim(self.dim) if use_wide() else self.dim
-        x = pad_lanes(x, wdim)          # wide-lane block chain (see
-        B, H, W = x.shape[:3]           # layers.use_wide); pads zero
-        # flat-chain mode: the whole refinement stack runs in the
-        # (B, L, C) token view (layers.use_flat_front)
-        hw = (H, W) if use_flat_front() else None
-        if hw is not None:
-            x = x.reshape(B, H * W, x.shape[-1])
         for i in range(self.depth):
             x = BlockMamba(dim=self.dim, mlp_ratio=4.0,
                            drop_path=float(self.drop_paths[i]),
                            use_custom_ffn=True, norm_eps=1e-5,
                            scan_backend=self.scan_backend, dtype=self.dtype,
-                           name=f"block{i}")(x, deterministic=not train,
-                                             hw=hw)
-        if hw is not None:
-            x = x.reshape(B, H, W, x.shape[-1])
-        return x[..., :self.dim]
+                           name=f"block{i}")(x, deterministic=not train)
+        return x
 
 
 class EMCAD(nn.Module):

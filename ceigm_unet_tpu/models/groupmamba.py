@@ -23,9 +23,7 @@ import numpy as np
 from flax import linen as nn
 
 from ceigm_unet_tpu.models.ss2d import QuadGroupSS2D
-from ceigm_unet_tpu.models.layers import (
-    DropPath, Pvt2Ffn, CustomFfn, PadDense, PadLN, use_wide, wide_dim,
-    pad_lanes, use_flat_chain)
+from ceigm_unet_tpu.models.layers import DropPath, Pvt2Ffn, CustomFfn
 from ceigm_unet_tpu.utils.initializers import (
     trunc_normal, conv_fan_out_normal)
 
@@ -47,54 +45,29 @@ class GroupMambaLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, hw=None) -> jnp.ndarray:
-        """x: (B, H, W, C|Cw), or flat (B, L, C) with ``hw`` (flat-chain
-        mode, layers.use_flat_chain) — output rank matches the input."""
-        wide = x.shape[-1] != self.dim      # wide-lane mode (pads zero)
-        flat = x.ndim == 3
-        if wide:
-            norm = PadLN(true_c=self.dim, name="norm")
-            xn = norm(x).astype(self.dtype)
-        else:
-            norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
-                                name="norm")
-            xn = norm(x.astype(jnp.float32)).astype(self.dtype)
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, C)."""
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")
+        xn = norm(x.astype(jnp.float32)).astype(self.dtype)
 
         # channel affinity: global average over tokens -> squeeze-excite
-        zc = jnp.mean(xn, axis=1 if flat else (1, 2))  # (B, C)
-        if wide:
-            zc = PadDense(self.dim // self.reduction, true_in=self.dim,
-                          kernel_init=trunc_normal(), dtype=self.dtype,
-                          name="fc1")(zc)
-            zc = nn.relu(zc)
-            # pad-lane affinity is sigmoid(0)=0.5, gating zeros: harmless
-            zc = PadDense(self.dim, true_in=self.dim // self.reduction,
-                          wide_out=x.shape[-1], kernel_init=trunc_normal(),
-                          dtype=self.dtype, name="fc2")(zc)
-        else:
-            zc = nn.Dense(self.dim // self.reduction,
-                          kernel_init=trunc_normal(), dtype=self.dtype,
-                          name="fc1")(zc)
-            zc = nn.relu(zc)
-            zc = nn.Dense(self.dim, kernel_init=trunc_normal(),
-                          dtype=self.dtype, name="fc2")(zc)
-        affinity = nn.sigmoid(zc)[:, None, :] if flat \
-            else nn.sigmoid(zc)[:, None, None, :]   # (B, 1[, 1], C)
+        zc = jnp.mean(xn, axis=(1, 2))  # (B, C)
+        zc = nn.Dense(self.dim // self.reduction,
+                      kernel_init=trunc_normal(), dtype=self.dtype,
+                      name="fc1")(zc)
+        zc = nn.relu(zc)
+        zc = nn.Dense(self.dim, kernel_init=trunc_normal(),
+                      dtype=self.dtype, name="fc2")(zc)
+        affinity = nn.sigmoid(zc)[:, None, None, :]   # (B, 1, 1, C)
 
         skip_scale = self.param("skip_scale", nn.initializers.ones, (1,))
 
         y = QuadGroupSS2D(dim=self.dim, d_state=self.d_state,
                           ssm_ratio=self.expand, d_conv=self.d_conv,
                           scan_backend=self.scan_backend, dtype=self.dtype,
-                          name="mamba")(xn, hw=hw)
+                          name="mamba")(xn)
         y = y * skip_scale.astype(self.dtype) * xn
         y = y * affinity
-        if wide:
-            y = norm(y).astype(self.dtype)  # shared-params LN
-            return PadDense(self.dim, true_in=self.dim,
-                            wide_out=x.shape[-1],
-                            kernel_init=trunc_normal(), dtype=self.dtype,
-                            name="proj")(y)
         y = norm(y.astype(jnp.float32)).astype(self.dtype)
         return nn.Dense(self.dim, kernel_init=trunc_normal(),
                         dtype=self.dtype, name="proj")(y)
@@ -112,30 +85,18 @@ class BlockMamba(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
-                 hw=None):
-        """x: (B, H, W, C), or flat (B, L, C) with ``hw`` (flat-chain
-        mode, layers.use_flat_chain)."""
-        wide = x.shape[-1] != self.dim      # wide-lane mode (pads zero)
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        """x: (B, H, W, C)."""
         attn = GroupMambaLayer(dim=self.dim, scan_backend=self.scan_backend,
-                               dtype=self.dtype, name="attn")(x, hw=hw)
+                               dtype=self.dtype, name="attn")(x)
         x = x + DropPath(self.drop_path, name="drop_path1")(
             attn, deterministic)
-        if wide:
-            xn = PadLN(true_c=self.dim, epsilon=self.norm_eps,
-                       name="norm2")(x).astype(self.dtype)
-        else:
-            xn = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32,
-                              name="norm2")(
-                x.astype(jnp.float32)).astype(self.dtype)
+        xn = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32,
+                          name="norm2")(
+            x.astype(jnp.float32)).astype(self.dtype)
         hidden = int(self.dim * self.mlp_ratio)
-        tc = self.dim if wide else 0
-        if self.use_custom_ffn:
-            m = CustomFfn(hidden=hidden, dtype=self.dtype, true_c=tc,
-                          name="mlp")(xn, hw=hw)
-        else:
-            m = Pvt2Ffn(hidden=hidden, dtype=self.dtype, true_c=tc,
-                        name="mlp")(xn, hw=hw)
+        ffn = CustomFfn if self.use_custom_ffn else Pvt2Ffn
+        m = ffn(hidden=hidden, dtype=self.dtype, name="mlp")(xn)
         return x + DropPath(self.drop_path, name="drop_path2")(
             m, deterministic)
 
@@ -229,16 +190,6 @@ class GroupMamba(nn.Module):
             else:
                 x = DownSample(out_dim=dim, dtype=self.dtype,
                                name=f"patch_embed{i + 1}")(x)
-            # wide-lane stages: run the block chain zero-padded to the
-            # 128-lane tile (C-in-lanes layouts everywhere; see
-            # layers.use_wide). Pad once at stage entry, slice at exit.
-            wdim = wide_dim(dim) if use_wide() else dim
-            x = pad_lanes(x, wdim)
-            # flat-chain mode: flatten once per stage, run the block
-            # chain in the (B, L, C) token view (layers.use_flat_chain)
-            hw = x.shape[1:3] if use_flat_chain() else None
-            if hw is not None:
-                x = x.reshape(x.shape[0], hw[0] * hw[1], x.shape[-1])
             for j in range(depth):
                 x = BlockMamba(dim=dim, mlp_ratio=ratio,
                                drop_path=float(dpr[cur + j]),
@@ -246,18 +197,11 @@ class GroupMamba(nn.Module):
                                scan_backend=self.scan_backend,
                                dtype=self.dtype,
                                name=f"block{i + 1}_{j}")(
-                    x, deterministic=not train, hw=hw)
-            if hw is not None:
-                x = x.reshape(x.shape[0], hw[0], hw[1], x.shape[-1])
+                    x, deterministic=not train)
             cur += depth
-            if wdim != dim:
-                x = PadLN(true_c=dim, epsilon=1e-6,
-                          name=f"norm{i + 1}")(x).astype(self.dtype)
-                x = x[..., :dim]
-            else:
-                x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
-                                 name=f"norm{i + 1}")(
-                    x.astype(jnp.float32)).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             name=f"norm{i + 1}")(
+                x.astype(jnp.float32)).astype(self.dtype)
             feats.append(x)
         return feats
 

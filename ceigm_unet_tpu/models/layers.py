@@ -19,109 +19,6 @@ from ceigm_unet_tpu.utils.initializers import (
     trunc_normal, conv_fan_out_normal_grouped)
 
 
-def use_wide() -> bool:
-    """Gate for wide-lane stages: activations of stages whose channel
-    count is not a multiple of the 128-lane tile run zero-padded to the
-    next multiple. Rationale (r3 device traces, docs/STATUS.md): for
-    C < 128 tensors XLA prefers batch/space-in-lanes layouts, which makes
-    every pallas custom-call boundary a relayout cliff and cripples the
-    LN stat fusions (~17x off bandwidth). All padding happens in weights
-    at trace time — parameter shapes and checkpoints are unchanged."""
-    import os
-    return os.environ.get("CEIGM_WIDE", "0") == "1"
-
-
-def _flat_mode() -> str:
-    import os
-    return "0" if use_wide() else os.environ.get("CEIGM_FLAT", "0")
-
-
-def use_flat_chain() -> bool:
-    """Gate (CEIGM_FLAT=1|all|enc): run the ENCODER BlockMamba chains in
-    the flat (B, L, C) token view — flatten once at stage entry,
-    unflatten at exit. Rationale (r3 b128 trace): the dim-64 blocks
-    spend ~2.5 of 3.73 ms in relayouts, the worst being the out-proj
-    GEMM's tokens-minor {0,1} output hopping through {2,1,0,3} to the
-    consumer's {0,3,2,1} 4-D layout (1.39 ms/block). Measured and LOST
-    whole-model (87.4 -> 96.8 ms b128: the unfused Pvt2Ffn dwconv
-    boundary relayouts more than the flat view saves) — encoder flat
-    stays default OFF."""
-    return _flat_mode() in ("1", "all", "enc")
-
-
-def use_flat_front() -> bool:
-    """Gate (CEIGM_FLAT=1|all|front): flat token view for the decoder
-    Front stacks only — there the FFN is the fused CustomFfn pallas
-    kernel (consumes (B, L, C) directly, no XLA dwconv boundary)."""
-    return _flat_mode() in ("1", "all", "front")
-
-
-def wide_dim(c: int) -> int:
-    """Lane-tile-aligned activation width for channel count ``c``."""
-    return c if c % 128 == 0 else -(-c // 128) * 128
-
-
-def pad_lanes(x: jnp.ndarray, wide: int) -> jnp.ndarray:
-    """Zero-pad the channel (last) axis to ``wide`` lanes."""
-    c = x.shape[-1]
-    if c == wide:
-        return x
-    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, wide - c)])
-
-
-class PadDense(nn.Module):
-    """nn.Dense computed at a wide lane-padded width with TRUE-shaped
-    parameters: the kernel/bias are zero-padded at trace time to accept
-    ``true_in``-real/-pad-lane inputs and emit ``wide_out`` lanes (pads
-    zero). Parameter names and shapes match nn.Dense exactly, so the
-    checkpoint tree is unchanged."""
-    features: int                    # true output features (param shape)
-    true_in: int                     # true input features (param shape)
-    wide_out: int = 0                # 0 = features (no output padding)
-    use_bias: bool = True
-    dtype: jnp.dtype = jnp.float32
-    kernel_init: Callable = nn.initializers.lecun_normal()
-    bias_init: Callable = nn.initializers.zeros
-
-    @nn.compact
-    def __call__(self, x):
-        wi = x.shape[-1]
-        wo = self.wide_out or self.features
-        k = self.param("kernel", self.kernel_init,
-                       (self.true_in, self.features))
-        kw = jnp.pad(k, ((0, wi - self.true_in),
-                         (0, wo - self.features))).astype(self.dtype)
-        y = jax.lax.dot_general(x.astype(self.dtype), kw,
-                                (((x.ndim - 1,), (0,)), ((), ())))
-        if self.use_bias:
-            b = self.param("bias", self.bias_init, (self.features,))
-            y = y + jnp.pad(b, (0, wo - self.features)).astype(self.dtype)
-        return y
-
-
-class PadLN(nn.Module):
-    """LayerNorm over the TRUE leading ``true_c`` lanes of a zero-padded
-    channel axis: statistics divide by ``true_c`` (pad lanes hold zeros),
-    and the zero-padded scale keeps the output's pad lanes exactly zero.
-    Parameter names/shapes match nn.LayerNorm (scale/bias, (true_c,))."""
-    true_c: int
-    epsilon: float = 1e-5
-
-    @nn.compact
-    def __call__(self, x):
-        w = x.shape[-1]
-        s = self.param("scale", nn.initializers.ones, (self.true_c,))
-        b = self.param("bias", nn.initializers.zeros, (self.true_c,))
-        xf = x.astype(jnp.float32)
-        inv = 1.0 / float(self.true_c)
-        mu = jnp.sum(xf, axis=-1, keepdims=True) * inv
-        var = jnp.sum(xf * xf, axis=-1, keepdims=True) * inv - mu * mu
-        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
-        pad = (0, w - self.true_c)
-        return y * jnp.pad(s, pad).astype(jnp.float32) + jnp.pad(
-            b, pad).astype(jnp.float32)
-
-
 class DropPath(nn.Module):
     """Per-sample stochastic depth."""
     rate: float = 0.0
@@ -176,58 +73,29 @@ def dw_conv(features: int, kernel: int, use_bias: bool = True,
 
 class Pvt2Ffn(nn.Module):
     """fc1 -> depthwise 3x3 -> GELU -> fc2 (reference PVT2FFN,
-    groupmamba.py:54-83). Input (B, H, W, C).
-
-    ``true_c`` (wide-lane mode): real channel count when the input's
-    channel axis arrives zero-padded past it — fc1/fc2 run as PadDense
-    with trace-time zero-padded weights (identical parameter tree)."""
+    groupmamba.py:54-83). Input (B, H, W, C)."""
     hidden: int
     dtype: jnp.dtype = jnp.float32
-    true_c: int = 0
 
     @nn.compact
-    def __call__(self, x, hw=None):
-        """x: (B, H, W, C), or flat (B, L, C) with ``hw`` (flat-chain
-        mode, layers.use_flat_chain) — output rank matches the input."""
+    def __call__(self, x):
         c = x.shape[-1]
-        flat = x.ndim == 3
-        B = x.shape[0]
-        H, W = hw if flat else x.shape[1:3]
-        wide = bool(self.true_c) and self.true_c != c
-        if _use_fused_ffn(c) and not wide:
-            # one VMEM-resident kernel: the hidden tensor never hits HBM
-            # (ops/ffn_pallas.py; the unfused chain is ~1.4 ms/block of
-            # pure HBM traffic at stage-1 — r3 HLO/trace analysis)
+        if _use_fused_ffn(c):
+            # one VMEM-resident kernel (ops/ffn_pallas.py) — measured
+            # and default OFF; see STATUS r4 postmortem
             w1 = _DenseParams(c, self.hidden, trunc_normal(), name="fc1")
             dwp = _DwParams(3, self.hidden, name="dwconv")
             w2 = _DenseParams(self.hidden, c, trunc_normal(), name="fc2")
             from ceigm_unet_tpu.ops.ffn_pallas import pvt2ffn_fused
-            y = pvt2ffn_fused(
-                x.astype(self.dtype).reshape(B, H, W, c),
-                w1.kernel, w1.bias, dwp.kernel, dwp.bias,
-                w2.kernel, w2.bias)
-            return y.reshape(B, H * W, c) if flat else y
-        if wide:
-            x = PadDense(self.hidden, true_in=self.true_c,
-                         kernel_init=trunc_normal(), dtype=self.dtype,
-                         name="fc1")(x)
-        else:
-            x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
-                         dtype=self.dtype, name="fc1")(x)
-        if flat:
-            x = x.reshape(B, H, W, self.hidden)
+            return pvt2ffn_fused(
+                x.astype(self.dtype), w1.kernel, w1.bias, dwp.kernel,
+                dwp.bias, w2.kernel, w2.bias)
+        x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
+                     dtype=self.dtype, name="fc1")(x)
         x = dw_conv(self.hidden, 3, name="dwconv")(x)
         x = fast_gelu(x)
-        if flat:
-            x = x.reshape(B, H * W, self.hidden)
-        if wide:
-            x = PadDense(self.true_c, true_in=self.hidden, wide_out=c,
-                         kernel_init=trunc_normal(), dtype=self.dtype,
-                         name="fc2")(x)
-        else:
-            x = nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
-                         name="fc2")(x)
-        return x
+        return nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
+                        name="fc2")(x)
 
 
 class _DwParams(nn.Module):
@@ -335,22 +203,17 @@ class CustomFfn(nn.Module):
     """fc1 -> dw3x3 -> GELU -> InceptionDWConvMultiScale -> fc2.
 
     Reference: custom_ffn (model/gm/custom_mlp.py:335-368) — the MLP used by
-    the decoder-side mamba refinement blocks. ``true_c``: see Pvt2Ffn.
+    the decoder-side mamba refinement blocks.
     """
     hidden: int
     dtype: jnp.dtype = jnp.float32
-    true_c: int = 0
 
     @nn.compact
-    def __call__(self, x, hw=None):
-        """x: (B, H, W, C), or flat (B, L, C) with ``hw`` (flat-chain
-        mode, layers.use_flat_chain) — output rank matches the input."""
+    def __call__(self, x):
+        """x: (B, H, W, C)."""
         c = x.shape[-1]
-        flat = x.ndim == 3
-        B = x.shape[0]
-        H, W = hw if flat else x.shape[1:3]
-        wide = bool(self.true_c) and self.true_c != c
-        if _use_fused_cffn() and not wide:
+        B, H, W = x.shape[:3]
+        if _use_fused_cffn():
             # one VMEM-resident kernel: XLA's decoder-tail fusions run
             # 7-16x off the bandwidth floor here (the 49-tap inception
             # stencil lands in a batch-in-lanes fc2 reduce-fusion — r3
@@ -366,29 +229,14 @@ class CustomFfn(nn.Module):
                 w1.kernel, w1.bias, dwp.kernel, dwp.bias, inck, incb,
                 w2.kernel, w2.bias, H, W,
                 3 * int(self.hidden * 0.125))
-            return y if flat else y.reshape(B, H, W, c)
-        if wide:
-            x = PadDense(self.hidden, true_in=self.true_c,
-                         kernel_init=trunc_normal(), dtype=self.dtype,
-                         name="fc1")(x)
-        else:
-            x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
-                         dtype=self.dtype, name="fc1")(x)
-        if flat:
-            x = x.reshape(B, H, W, self.hidden)
+            return y.reshape(B, H, W, c)
+        x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
+                     dtype=self.dtype, name="fc1")(x)
         x = dw_conv(self.hidden, 3, name="dwconv")(x)
         x = fast_gelu(x)
         x = InceptionDWConvMultiScale(name="custom")(x)
-        if flat:
-            x = x.reshape(B, H * W, self.hidden)
-        if wide:
-            x = PadDense(self.true_c, true_in=self.hidden, wide_out=c,
-                         kernel_init=trunc_normal(), dtype=self.dtype,
-                         name="fc2")(x)
-        else:
-            x = nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
-                         name="fc2")(x)
-        return x
+        return nn.Dense(c, kernel_init=trunc_normal(), dtype=self.dtype,
+                        name="fc2")(x)
 
 
 def channel_shuffle(x: jnp.ndarray, groups: int) -> jnp.ndarray:

@@ -136,7 +136,7 @@ def quad_ssm_nhwc(xc_k: jnp.ndarray, p, R: int,
 
 
 def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
-                   dtype, dgw=None, cat=False, pre_dt=None):
+                   dtype, cat=False):
     """Per-group fused quad path (v3): dt/B/C projections as
     block-diagonal dense GEMMs, then one pallas launch per group scanning
     its (H, W*D) block in its own direction with the group-LN fused in
@@ -154,111 +154,32 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
     K = len(directions)
     B_ = xc.shape[0]
     L = H * W
-    Dw = dgw or D                       # wide per-group lanes (pads zero)
-    cpad = ((0, 0), (0, Dw - D))
-    xcf = xc.reshape(B_ * L, K * Dw)
+    xcf = xc.reshape(B_ * L, K * D)
 
-    if pre_dt is not None:
-        # dt arrived precomputed from the fused prologue kernel
-        # (ops/quad_prologue.py); only the B/C projection remains
-        wbc_bd = jax.scipy.linalg.block_diag(
-            *[jnp.swapaxes(p.x_proj_weight[k, R:R + 2], 0, 1)
-              for k in range(K)]).astype(dtype)            # (K*D, 2K)
-        bc = (xcf @ wbc_bd).reshape(B_, L, K, 2)
-        Bs, Cs = bc[..., 0], bc[..., 1]
-        dt = pre_dt.reshape(B_ * L, K * Dw)
-    elif _use_dtfuse():
-        # collapse the rank-R dt bottleneck at trace time (the planar
-        # path's trick, ss2d.py:_quad_planar): (x @ Wx_dt) @ Wdt ==
-        # x @ (Wx_dt @ Wdt) — removes the skinny N=K*R GEMM hop and its
-        # tokens-on-lanes input copy; the remaining B/C projection runs
-        # as a tiny N=2K GEMM. fp reassociation only (fp32 weight
-        # product at trace time; the dts intermediate is no longer
-        # rounded to the compute dtype).
-        wdt_full = jax.scipy.linalg.block_diag(
-            *[jnp.pad(jnp.swapaxes(p.x_proj_weight[k, :R], 0, 1)
-                      @ jnp.swapaxes(p.dt_projs_weight[k], 0, 1),
-                      ((0, Dw - D), (0, Dw - D))) for k in range(K)]
-        ).astype(dtype)                                 # (K*Dw, K*Dw)
-        dt = xcf @ wdt_full                             # (B*L, K*Dw)
-        wbc_bd = jax.scipy.linalg.block_diag(
-            *[jnp.pad(jnp.swapaxes(p.x_proj_weight[k, R:R + 2], 0, 1),
-                      ((0, Dw - D), (0, 0))) for k in range(K)]
-        ).astype(dtype)                                 # (K*Dw, 2K)
-        bc = (xcf @ wbc_bd).reshape(B_, L, K, 2)
-        Bs, Cs = bc[..., 0], bc[..., 1]
-    else:
-        wx_bd = jax.scipy.linalg.block_diag(
-            *[jnp.pad(jnp.swapaxes(p.x_proj_weight[k], 0, 1),
-                      ((0, Dw - D), (0, 0))) for k in range(K)]
-        ).astype(dtype)                                 # (K*Dw, K*(R+2))
-        x_dbl = (xcf @ wx_bd).reshape(B_, L, K, R + 2)
-        dts, Bs, Cs = x_dbl[..., :R], x_dbl[..., R], x_dbl[..., R + 1]
+    wx_bd = jax.scipy.linalg.block_diag(
+        *[jnp.swapaxes(p.x_proj_weight[k], 0, 1) for k in range(K)]
+    ).astype(dtype)                                 # (K*D, K*(R+2))
+    x_dbl = (xcf @ wx_bd).reshape(B_, L, K, R + 2)
+    dts, Bs, Cs = x_dbl[..., :R], x_dbl[..., R], x_dbl[..., R + 1]
 
-        wdt_bd = jax.scipy.linalg.block_diag(
-            *[jnp.pad(jnp.swapaxes(p.dt_projs_weight[k], 0, 1), cpad)
-              for k in range(K)]
-        ).astype(dtype)                                 # (K*R, K*Dw)
-        dt = dts.reshape(B_ * L, K * R) @ wdt_bd        # (B*L, K*Dw)
+    wdt_bd = jax.scipy.linalg.block_diag(
+        *[jnp.swapaxes(p.dt_projs_weight[k], 0, 1) for k in range(K)]
+    ).astype(dtype)                                 # (K*R, K*D)
+    dt = dts.reshape(B_ * L, K * R) @ wdt_bd        # (B*L, K*D)
 
-    if _use_pack():
-        # pallas pack: contiguous HBM in/out, lane slices in VMEM —
-        # replaces XLA's Dw-granular strided transpose copies
-        from ceigm_unet_tpu.ops.pack import pack_groups
-        interp = jax.default_backend() != "tpu"
-        ut = pack_groups(xc.reshape(B_, L, K * Dw), K, interp)
-        dtt = pack_groups(dt.reshape(B_, L, K * Dw), K, interp)
-    else:
-        ut = jnp.swapaxes(xc.reshape(B_, L, K, Dw), 1, 2)  # (B, K, L, Dw)
-        dtt = jnp.swapaxes(dt.reshape(B_, L, K, Dw), 1, 2)
-    Bt = jnp.swapaxes(Bs, 1, 2)                          # (B, K, L)
+    ut = jnp.swapaxes(xc.reshape(B_, L, K, D), 1, 2)   # (B, K, L, D)
+    dtt = jnp.swapaxes(dt.reshape(B_, L, K, D), 1, 2)
+    Bt = jnp.swapaxes(Bs, 1, 2)                        # (B, K, L)
     Ct = jnp.swapaxes(Cs, 1, 2)
 
-    # pad-lane constants: A=-1 (bounded decay), everything else 0 — with
-    # u/dt pads zero the kernel's pad lanes emit exact zeros (see
-    # sscan_quad_ln docstring)
-    A = jnp.pad(-jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D),
-                cpad, constant_values=-1.0)
-    bias = jnp.pad(p.dt_projs_bias.astype(jnp.float32), cpad)
-    Ds = jnp.pad(p.Ds.astype(jnp.float32).reshape(K, D), cpad)
+    A = -jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D)
+    bias = p.dt_projs_bias.astype(jnp.float32)
+    Ds = p.Ds.astype(jnp.float32).reshape(K, D)
     scan = sscan_quad_ln_cat if cat else sscan_quad_ln
-    y = scan(ut, dtt, Bt, Ct, A, bias, Ds,
-             (jnp.pad(ln_scale, cpad), jnp.pad(ln_bias, cpad)),
-             H, W, tuple(int(d) for d in directions),
-             true_c=(D if Dw != D else None))
+    y = scan(ut, dtt, Bt, Ct, A, bias, Ds, (ln_scale, ln_bias),
+             H, W, tuple(int(d) for d in directions))
     from ceigm_unet_tpu.utils.debug import check_nan_inf
     return check_nan_inf("quad_pergroup.y", y)
-
-
-def _use_prologue() -> bool:
-    """Gate (CEIGM_PROLOGUE=1): fused in-proj + dw3x3 + silu + dt-chain
-    prologue kernel (ops/quad_prologue.py) on the per-group quad path.
-    A/B via tools/exp_fuse_ab.py CEIGM_PROLOGUE before flipping."""
-    import os
-    return os.environ.get("CEIGM_PROLOGUE", "0") == "1"
-
-
-def _use_dtfuse() -> bool:
-    """Opt-in gate (CEIGM_DTFUSE=1): collapse the rank-R dt bottleneck
-    into one block-diagonal GEMM at trace time on the per-group path."""
-    import os
-    return os.environ.get("CEIGM_DTFUSE", "0") == "1"
-
-
-def _use_pack() -> bool:
-    """Opt-in gate (CEIGM_PACK=1): pallas pack/unpack kernels at the
-    quad-path group boundaries instead of XLA transposes (ops/pack.py).
-    Measured via tools/exp_fuse_ab.py CEIGM_PACK before flipping."""
-    import os
-    return os.environ.get("CEIGM_PACK", "0") == "1"
-
-
-def _use_fuseproj() -> bool:
-    """Opt-in gate (CEIGM_FUSEPROJ=1): fuse the xc/z in-projections into
-    one >=128-lane GEMM at narrow stages. Measured via tools/exp_fuse_ab.py
-    before flipping the default."""
-    import os
-    return os.environ.get("CEIGM_FUSEPROJ", "0") == "1"
 
 
 def _use_planar() -> bool:
@@ -453,31 +374,19 @@ class QuadGroupSS2D(nn.Module):
     directions: Sequence[int] = (1, 2, 3, 4)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray,
-                 hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
-        """x: (B, H, W, C), or flat (B, L, C) with ``hw`` — the flat form
-        feeds the GEMM chain without ever materializing a 4-D layout
-        (the planar scan kernel reads the (B, H, W*Din) bitcast view)."""
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, C)."""
         K = len(self.directions)
         dg = self.dim // K                      # per-group d_model
         d_inner = int(self.ssm_ratio * dg)
         Din = K * d_inner
         R = math.ceil(dg / 16)
-        in4 = x.ndim == 4
         B_ = x.shape[0]
-        H, W = x.shape[1:3] if in4 else hw
+        H, W = x.shape[1:3]
         C = x.shape[-1]
         L = H * W
 
         quad_fast = _use_quad_nhwc(self.d_state, self.scan_backend)
-
-        # wide-lane mode: the input arrives zero-padded past self.dim
-        # (layers.use_wide) — every projection runs at the wide width via
-        # trace-time zero-padded weights, the groups live interleaved at
-        # dgw lanes each ([d_inner real | pad] x K), and the scan kernel
-        # gets true_c=d_inner so its group-LN stays exact.
-        wide = C != self.dim
-        dgw = (C // K) if wide else 0           # wide per-group lanes
 
         # per-group in_proj (stacked): (K, dg, 2*d_inner). Computed as ONE
         # dense block-diagonal matmul — the K-grouped einsum's tiny
@@ -487,40 +396,21 @@ class QuadGroupSS2D(nn.Module):
                           (K, dg, 2 * d_inner))
         from ceigm_unet_tpu.ops.quad_scan import _group_lanes
         Dg = _group_lanes(d_inner)
-        use_planar = quad_fast and _use_planar() and not wide
+        use_planar = quad_fast and _use_planar()
         # on the planar path z runs at the kernel's padded planar width
         # (zero columns per group) so the gate + out-proj stay slice-free
-        zpad = (Dg - d_inner) if use_planar else (
-            (dgw - d_inner) if (wide and quad_fast) else 0)
-        xc_pad = (dgw - d_inner) if (wide and quad_fast) else 0
-        row_pad = (C - self.dim) if wide else 0
-        w_xc_bd = jnp.pad(jax.scipy.linalg.block_diag(
-            *[jnp.pad(w_in[k][:, :d_inner], ((0, 0), (0, xc_pad)))
-              for k in range(K)]),
-            ((0, row_pad), (0, 0))).astype(self.dtype)
-        w_z_bd = jnp.pad(jax.scipy.linalg.block_diag(
+        zpad = (Dg - d_inner) if use_planar else 0
+        w_xc_bd = jax.scipy.linalg.block_diag(
+            *[w_in[k][:, :d_inner] for k in range(K)]).astype(self.dtype)
+        w_z_bd = jax.scipy.linalg.block_diag(
             *[jnp.pad(w_in[k][:, d_inner:], ((0, 0), (0, zpad)))
-              for k in range(K)]),
-            ((0, row_pad), (0, 0))).astype(self.dtype)
-        xp = x.astype(self.dtype).reshape(B_ * L, C)
-        Dinw = Din + K * xc_pad             # xc width (== C when wide)
+              for k in range(K)]).astype(self.dtype)
 
         from ceigm_unet_tpu.models.layers import _DwParams
         dwp = _DwParams(self.d_conv, Din, use_bias=self.conv_bias,
                         name="conv2d")
-        if xc_pad:
-            # lane-interleaved zero padding of the depthwise kernel/bias
-            kpad = ((0, 0), (0, 0), (0, 0), (0, 0), (0, xc_pad))
-            kk = dwp.kernel.reshape(self.d_conv, self.d_conv, 1, K,
-                                    d_inner)
-            dwk = jnp.pad(kk, kpad).reshape(self.d_conv, self.d_conv, 1,
-                                            Dinw)
-            dwb = (jnp.pad(dwp.bias.reshape(K, d_inner),
-                           ((0, 0), (0, xc_pad))).reshape(Dinw)
-                   if self.conv_bias else None)
-        else:
-            dwk = dwp.kernel
-            dwb = dwp.bias if self.conv_bias else None
+        dwk = dwp.kernel
+        dwb = dwp.bias if self.conv_bias else None
 
         p = _SSMParams(k=K, d_inner=d_inner, d_state=self.d_state,
                        dt_rank=R, name="ssm")
@@ -531,47 +421,58 @@ class QuadGroupSS2D(nn.Module):
         w_out = self.param("out_proj_weight", trunc_normal(),
                            (K, d_inner, dg))
 
-        pre_dt = None
-        if (_use_prologue() and quad_fast and self.d_state == 1
-                and not wide and not use_planar):
-            # fused prologue kernel: in-proj GEMMs + dw3x3 + silu + dt
-            # chain, one pallas call (ops/quad_prologue.py) — replaces
-            # the emitter-bound skinny-GEMM chain below
-            from ceigm_unet_tpu.ops.quad_prologue import quad_prologue
-            wxdt_bd = jax.scipy.linalg.block_diag(
-                *[jnp.swapaxes(p.x_proj_weight[k, :R], 0, 1)
-                  for k in range(K)]).astype(self.dtype)   # (Din, K*R)
-            wdt_bd = jax.scipy.linalg.block_diag(
-                *[jnp.swapaxes(p.dt_projs_weight[k], 0, 1)
-                  for k in range(K)]).astype(self.dtype)   # (K*R, Din)
-            dwb_arr = (dwb if dwb is not None
-                       else jnp.zeros((Din,), jnp.float32))
-            xs_, zf, pre_dt = quad_prologue(
-                xp.reshape(B_, L, C), w_xc_bd, w_z_bd, wxdt_bd, wdt_bd,
-                dwk, dwb_arr, H, W)
-            xc = xs_.reshape(B_, H, W, Din)
-            z = zf.reshape(B_ * L, Din)
-        elif _use_fuseproj() and Din < 128 and not wide and zpad == 0:
-            # one N=2*Din GEMM: at Din < 128 the split GEMMs are skinny
-            # enough that XLA picks tokens-on-lanes emitters and copies
-            # the (B,H,W,C) input into a batch-minor layout per GEMM
-            # (r3 HLO: five 0.21 ms copies + reshapes at stage 1 alone);
-            # N >= 128 keeps the standard emitter. The two lane-slices
-            # of the fused output are the price — A/B via CEIGM_FUSEPROJ.
-            xz = xp @ jnp.concatenate([w_xc_bd, w_z_bd], axis=1)
-            xc = xz[:, :Dinw].reshape(B_, L, Dinw)
-            z = nn.silu(xz[:, Dinw:])
-        else:
-            # two GEMMs (not one + lane slice): each output feeds a
-            # different consumer layout; slicing a fused GEMM output
-            # costs a relayout
-            xc = (xp @ w_xc_bd).reshape(B_, L, Dinw)
-            z = nn.silu(xp @ w_z_bd)        # (B*L, Din + K*zpad)
+        # sequence-parallel island (parallel/sp_context.py): under an
+        # active sp_scan_island context the whole block runs H-sharded
+        # through shard_map — the ring scan covers the one op GSPMD
+        # cannot partition, so no all-gather of L is ever emitted
+        from ceigm_unet_tpu.parallel import sp_context
+        ctx = sp_context.active()
+        if ctx is not None:
+            # only H- and W-divisible stages run the island (the halo
+            # ppermute and the column-major all_to_all shard H and W
+            # respectively); deeper pyramid levels, where the feature
+            # map is small and cheap, stay on the plain-GSPMD path
+            n_sp = ctx[0].shape[ctx[1]]
+            if (H % n_sp or W % n_sp or self.d_state != 1
+                    or self.ssm_ratio != 1):
+                ctx = None
+        if ctx is not None:
+            import functools as _ft
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as _P
+            from ceigm_unet_tpu.parallel.sp_ss2d import quad_group_ss2d_sp
+            mesh, axis = ctx
+            fparams = {
+                "in_proj_weight": w_in,
+                "conv2d": ({"kernel": dwk, "bias": dwb}
+                           if dwb is not None else {"kernel": dwk}),
+                "ssm": {"x_proj_weight": p.x_proj_weight,
+                        "dt_projs_weight": p.dt_projs_weight,
+                        "dt_projs_bias": p.dt_projs_bias,
+                        "A_logs": p.A_logs, "Ds": p.Ds},
+                "out_norm_scale": ln_scale,
+                "out_norm_bias": ln_bias,
+                "out_proj_weight": w_out,
+            }
+            f = shard_map(
+                _ft.partial(quad_group_ss2d_sp, axis_name=axis,
+                            directions=tuple(int(d)
+                                             for d in self.directions)),
+                mesh=mesh,
+                in_specs=(_P(), _P(None, axis, None, None)),
+                out_specs=_P(None, axis, None, None))
+            return f(fparams, x.astype(self.dtype))
 
-        if pre_dt is None:
-            from ceigm_unet_tpu.ops.dwconv_pallas import depthwise_conv2d
-            xc = xc.reshape(B_, H, W, Dinw)
-            xc = nn.silu(depthwise_conv2d(xc, dwk, dwb))
+        xp = x.astype(self.dtype).reshape(B_ * L, C)
+        # two GEMMs (not one + lane slice): each output feeds a
+        # different consumer layout; slicing a fused GEMM output
+        # costs a relayout
+        xc = (xp @ w_xc_bd).reshape(B_, L, Din)
+        z = nn.silu(xp @ w_z_bd)            # (B*L, Din + K*zpad)
+
+        from ceigm_unet_tpu.ops.dwconv_pallas import depthwise_conv2d
+        xc = xc.reshape(B_, H, W, Din)
+        xc = nn.silu(depthwise_conv2d(xc, dwk, dwb))
 
         if quad_fast and self.d_state == 1:
             if use_planar:
@@ -587,35 +488,17 @@ class QuadGroupSS2D(nn.Module):
                     *[jnp.pad(w_out[k], ((0, Dg - d_inner), (0, 0)))
                       for k in range(K)]).astype(self.dtype)
             else:
-                dgw_arg = (d_inner + xc_pad) if xc_pad else None
-                if _use_pack():
-                    yk = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
-                                        self.directions, H, W, d_inner,
-                                        self.dtype, dgw=dgw_arg)
-                    # (B, K, L, dgw) normalized, pad lanes zero
-                    from ceigm_unet_tpu.ops.pack import unpack_groups
-                    yt = unpack_groups(
-                        yk, jax.default_backend() != "tpu"
-                    ).reshape(B_ * L, Dinw)
-                else:
-                    # lane-concatenated (B, L, Dinw) straight from the
-                    # scan outputs — no group-planar stack + swapaxes
-                    yt = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
-                                        self.directions, H, W, d_inner,
-                                        self.dtype, dgw=dgw_arg,
-                                        cat=True,
-                                        pre_dt=pre_dt).reshape(
-                                            B_ * L, Dinw)
-                # wide: out-proj rows zero-padded per group, columns
-                # zero-padded to the wide output width (pads stay zero)
-                wout_bd = jnp.pad(jax.scipy.linalg.block_diag(
-                    *[jnp.pad(w_out[k], ((0, xc_pad), (0, 0)))
-                      for k in range(K)]),
-                    ((0, 0), (0, row_pad))).astype(self.dtype)
+                # lane-concatenated (B, L, Din) straight from the
+                # scan outputs — no group-planar stack + swapaxes
+                yt = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
+                                    self.directions, H, W, d_inner,
+                                    self.dtype, cat=True).reshape(
+                                        B_ * L, Din)
+                wout_bd = jax.scipy.linalg.block_diag(
+                    *[w_out[k] for k in range(K)]).astype(self.dtype)
             # z-gate fused into the out-proj GEMM prologue (z is planar)
             out = (yt.astype(self.dtype) * z) @ wout_bd
-            return (out.reshape(B_, H, W, C) if in4
-                    else out.reshape(B_, L, C))
+            return out.reshape(B_, H, W, C)
 
         z = z.reshape(B_, H, W, Din)
 
@@ -638,7 +521,4 @@ class QuadGroupSS2D(nn.Module):
         yg = yg.astype(self.dtype) * z.reshape(B_, H, W, K, d_inner)
 
         out = jnp.einsum("bhwkd,kdc->bhwkc", yg, w_out.astype(self.dtype))
-        out = out.reshape(B_, H, W, self.dim)
-        if wide:  # generic fallback under wide lanes: re-pad the output
-            out = jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, C - self.dim)))
-        return out if in4 else out.reshape(B_, L, C)
+        return out.reshape(B_, H, W, self.dim)

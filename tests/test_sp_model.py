@@ -68,3 +68,59 @@ def test_sp_grads_exact(setup):
         np.testing.assert_allclose(
             a, b, rtol=1e-4, atol=1e-5 * max(1e-3, np.abs(b).max()),
             err_msg=jax.tree_util.keystr(pa))
+
+
+def _max_all_gather_elems(model, variables, x, mesh, scan_island):
+    """Largest all-gather output (element count) in the compiled HLO of
+    the H-sharded forward."""
+    import re
+    import functools
+    from jax.sharding import NamedSharding
+    from ceigm_unet_tpu.parallel.sp_context import sp_scan_island
+    from contextlib import nullcontext
+
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "sp")))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    f = jax.jit(model.apply,
+                out_shardings=NamedSharding(mesh, P(None, "sp")))
+    ctx = sp_scan_island(mesh, "sp") if scan_island else nullcontext()
+    with ctx:
+        txt = f.lower(vs, xs).compile().as_text()
+    worst = 0
+    for ln in txt.splitlines():
+        s = ln.strip()
+        # all-gather INSTRUCTION DEFINITIONS inside the scan modules only
+        # (weight-construction gathers of the inception composite and the
+        # ring scan's tiny per-shard summary gathers are not L gathers)
+        m = re.match(r"%?[\w.\-]+ = \w+\[([\d,]*)\][^ ]* "
+                     r"(?:all-gather|all_gather)\(", s)
+        if m and "/mamba/" in s:
+            n = 1
+            for d in m.group(1).split(","):
+                if d:
+                    n *= int(d)
+            worst = max(worst, n)
+    return worst
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the virtual 8-device mesh")
+def test_sp_scan_island_kills_L_gather(setup):
+    """The r3 GSPMD path all-gathered the full L axis at every scan op;
+    with the shard_map scan island the compiled module's largest
+    all-gather shrinks to the small deep-stage tail (stages whose H no
+    longer divides the mesh) — nothing at the island stages' L size."""
+    model, variables, x = setup
+    mesh = _mesh()
+    with_island = _max_all_gather_elems(model, variables, x, mesh, True)
+    without = _max_all_gather_elems(model, variables, x, mesh, False)
+    # plain GSPMD gathers the full stage-1/2 images at the scan ops:
+    # (2, 16, 16, 16) = 8192 and (2, 8, 8, 32) = 4096 elems. With the
+    # island those are gone — the mamba-side gathers that remain are the
+    # ring scan's per-shard summaries ((8, 2, 4, 1) = 64 elems) and the
+    # non-divisible deep-tail stages' (H = 4 < mesh) GSPMD gathers
+    # ((2, 4, 4, 48) = 1536), which the island deliberately skips.
+    assert without >= 8192, f"baseline lost its L gather? ({without})"
+    assert with_island < 4096, (
+        f"scan island did not remove the island-stage L all-gather: "
+        f"{with_island} vs {without}")

@@ -45,7 +45,7 @@ def main():
     from ceigm_unet_tpu.models import build_model
     model = build_model(num_classes=9, dtype=jnp.bfloat16,
                         scan_backend="auto")
-    x = jnp.ones((64, 224, 224, 1), jnp.float32)
+    x = jnp.ones((int(os.environ.get("CEIGM_B", "64")), 224, 224, 1), jnp.float32)
     v = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
     compiled = jax.jit(lambda q: model.apply(v, q)).lower(x).compile()
     txt = compiled.as_text()

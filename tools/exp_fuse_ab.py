@@ -1,7 +1,6 @@
-"""Same-process model-level A/B of an env-gated variant (default:
-CEIGM_FUSEPROJ — fused xc/z in-projection GEMM at narrow stages).
+"""Same-process model-level A/B of an env-gated variant.
 
-Run on the real TPU: python tools/exp_fuse_ab.py [FLAG [batch [hw]]]
+Run on the real TPU: python tools/exp_fuse_ab.py FLAG [batch [hw]]
 """
 from __future__ import annotations
 
@@ -44,7 +43,7 @@ def run_variant(flag: str, on: bool, B: int, hw: int):
 
 
 def main():
-    flag = sys.argv[1] if len(sys.argv) > 1 else "CEIGM_FUSEPROJ"
+    flag = sys.argv[1] if len(sys.argv) > 1 else "CEIGM_FFN"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     hw = int(sys.argv[3]) if len(sys.argv) > 3 else 224
     t_off = run_variant(flag, False, B, hw)
