@@ -150,7 +150,8 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
     group-planar stack + swapaxes round trip on the output side).
     """
     from ceigm_unet_tpu.ops.quad_scan import (sscan_quad_ln,
-                                              sscan_quad_ln_cat)
+                                              sscan_quad_ln_cat,
+                                              sscan_quad_ln_cat_q8)
     K = len(directions)
     B_ = xc.shape[0]
     L = H * W
@@ -167,19 +168,49 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
     ).astype(dtype)                                 # (K*R, K*D)
     dt = dts.reshape(B_ * L, K * R) @ wdt_bd        # (B*L, K*D)
 
-    ut = jnp.swapaxes(xc.reshape(B_, L, K, D), 1, 2)   # (B, K, L, D)
-    dtt = jnp.swapaxes(dt.reshape(B_, L, K, D), 1, 2)
-    Bt = jnp.swapaxes(Bs, 1, 2)                        # (B, K, L)
-    Ct = jnp.swapaxes(Cs, 1, 2)
-
     A = -jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D)
     bias = p.dt_projs_bias.astype(jnp.float32)
     Ds = p.Ds.astype(jnp.float32).reshape(K, D)
+    Bt = jnp.swapaxes(Bs, 1, 2)                        # (B, K, L)
+    Ct = jnp.swapaxes(Cs, 1, 2)
+
+    if cat and _use_quant():
+        # sub-bf16 activation-storage experiment (CEIGM_QUANT=1,
+        # inference-only): quantize u/dt to int8 with dynamic per-lane
+        # scales BEFORE the (B,L,K,D)->(B,K,L,D) transposes, so the
+        # boundary relayout copies move half the bytes; the scan kernel
+        # dequantizes in its fp32 prologue. Forward-only (int8 rounding
+        # has no gradient) — bench/eval measurement path.
+        def q8(t4):
+            amax = jnp.max(jnp.abs(t4.astype(jnp.float32)), axis=(0, 1))
+            scale = jnp.maximum(amax, 1e-6) / 127.0     # (K, D)
+            q = jnp.clip(jnp.round(t4.astype(jnp.float32) / scale),
+                         -127.0, 127.0).astype(jnp.int8)
+            return q, scale
+        uq, su = q8(xc.reshape(B_, L, K, D))
+        dq, sdt = q8(dt.reshape(B_, L, K, D))
+        y = sscan_quad_ln_cat_q8(
+            jnp.swapaxes(uq, 1, 2), jnp.swapaxes(dq, 1, 2), su, sdt,
+            Bt, Ct, A, bias, Ds, (ln_scale, ln_bias),
+            H, W, tuple(int(d) for d in directions))
+        from ceigm_unet_tpu.utils.debug import check_nan_inf
+        return check_nan_inf("quad_pergroup.y", y)
+
+    ut = jnp.swapaxes(xc.reshape(B_, L, K, D), 1, 2)   # (B, K, L, D)
+    dtt = jnp.swapaxes(dt.reshape(B_, L, K, D), 1, 2)
     scan = sscan_quad_ln_cat if cat else sscan_quad_ln
     y = scan(ut, dtt, Bt, Ct, A, bias, Ds, (ln_scale, ln_bias),
              H, W, tuple(int(d) for d in directions))
     from ceigm_unet_tpu.utils.debug import check_nan_inf
     return check_nan_inf("quad_pergroup.y", y)
+
+
+def _use_quant() -> bool:
+    """Gate (CEIGM_QUANT=1): int8 storage for the quad-boundary u/dt
+    activations (the sub-bf16 storage experiment, r3 verdict #2).
+    Inference-only — the quantization has no gradient."""
+    import os
+    return os.environ.get("CEIGM_QUANT", "0") == "1"
 
 
 def _use_planar() -> bool:

@@ -409,14 +409,20 @@ def _seg_mats(W, C):
     return S, ST
 
 
-def _quad_ln_body(H, W, C, true_c, dirn, u, dt, bs, cs, consts):
+def _quad_ln_body(H, W, C, true_c, dirn, u, dt, bs, cs, consts,
+                  quant=False):
     """Shared scan + group-LN body on one group's (H, W*C) block.
 
     u/dt (H, W*C) any dtype; bs/cs (H, W) f32 per-pixel scalars; consts
-    (>=5, C) f32 rows [A, dt_bias, D, ln_scale, ln_offset]. Returns the
-    normalized activation (H, W*C) f32."""
+    (>=5, C) f32 rows [A, dt_bias, D, ln_scale, ln_offset]. With
+    ``quant`` u/dt arrive int8 and rows 5/6 hold their per-lane
+    dequantization scales (amax/127). Returns the normalized activation
+    (H, W*C) f32."""
     u = u.astype(jnp.float32)
     dt = dt.astype(jnp.float32)
+    if quant:
+        u = u * jnp.tile(consts[5:6, :], (1, W))
+        dt = dt * jnp.tile(consts[6:7, :], (1, W))
     A = jnp.tile(consts[0:1, :], (1, W))
     bias = jnp.tile(consts[1:2, :], (1, W))
     Dv = jnp.tile(consts[2:3, :], (1, W))
@@ -454,15 +460,15 @@ def _quad_ln_body(H, W, C, true_c, dirn, u, dt, bs, cs, consts):
     return (y - mb) * ivb * ln_s + ln_b
 
 
-def _fused_quad_ln_kernel(H, W, C, true_c, dirn, u_ref, dt_ref, bs_ref,
-                          cs_ref, const_ref, out_ref):
+def _fused_quad_ln_kernel(H, W, C, true_c, dirn, quant, u_ref, dt_ref,
+                          bs_ref, cs_ref, const_ref, out_ref):
     out_ref[...] = _quad_ln_body(
         H, W, C, true_c, dirn, u_ref[...], dt_ref[...], bs_ref[...],
-        cs_ref[...], const_ref[...]).astype(out_ref.dtype)
+        cs_ref[...], const_ref[...], quant).astype(out_ref.dtype)
 
 
-def _fused_quad_ln_merged_kernel(H, W, C, true_c, directions, G, u_ref,
-                                 dt_ref, bs_ref, cs_ref, const_ref,
+def _fused_quad_ln_merged_kernel(H, W, C, true_c, directions, G, quant,
+                                 u_ref, dt_ref, bs_ref, cs_ref, const_ref,
                                  *out_refs):
     """All K groups of G images per grid step — one pallas launch per
     quad block instead of K*B (kills per-call/per-step fixed costs and
@@ -474,7 +480,7 @@ def _fused_quad_ln_merged_kernel(H, W, C, true_c, directions, G, u_ref,
             out_refs[g][i] = _quad_ln_body(
                 H, W, C, true_c, int(dirn), u_ref[i, g], dt_ref[i, g],
                 bs_ref[i, g], cs_ref[i, g],
-                const_ref[g]).astype(out_refs[g].dtype)
+                const_ref[g], quant).astype(out_refs[g].dtype)
 
 
 def _merged_g(B, K, H, WC, dtype_size):
@@ -496,9 +502,10 @@ def _merged_g(B, K, H, WC, dtype_size):
 
 @functools.partial(jax.jit, static_argnames=("H", "W", "directions",
                                              "true_c", "interpret",
-                                             "merged"))
+                                             "merged", "quant"))
 def _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W, directions,
-                          true_c=None, interpret=False, merged=False):
+                          true_c=None, interpret=False, merged=False,
+                          quant=False):
     """Scan + group-LN fused; Bs/Cs are per-pixel scalars (B, K, L).
 
     ``true_c``: real channel count per group when the caller hands lanes
@@ -515,7 +522,8 @@ def _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W, directions,
         dt = jnp.pad(dt, pad4)
         consts = jnp.pad(consts, ((0, 0), (0, 0), (0, C - C0)),
                          constant_values=-1.0)
-    consts = jnp.pad(jnp.swapaxes(consts, 0, 1), ((0, 0), (0, 3), (0, 0)))
+    consts = jnp.pad(jnp.swapaxes(consts, 0, 1),
+                     ((0, 0), (0, 8 - consts.shape[0]), (0, 0)))
     uv = u.reshape(B, K, H, W * C)
     dtv = dt.reshape(B, K, H, W * C)
     bsv = Bs.reshape(B, K, H, W).astype(jnp.float32)
@@ -529,11 +537,12 @@ def _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W, directions,
                              memory_space=pltpu.VMEM)
         ospec = pl.BlockSpec((G, H, W * C), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-        oshape = jax.ShapeDtypeStruct((B, H, W * C), u.dtype)
+        oshape = jax.ShapeDtypeStruct(
+            (B, H, W * C), jnp.bfloat16 if quant else u.dtype)
         ys = pl.pallas_call(
             functools.partial(_fused_quad_ln_merged_kernel, H, W, C,
                               true_c, tuple(int(d) for d in directions),
-                              G),
+                              G, quant),
             grid=(B // G,),
             in_specs=[spec, spec, sspec, sspec,
                       pl.BlockSpec((K, 8, C), lambda i: (0, 0, 0),
@@ -555,14 +564,15 @@ def _sscan_quad_ln_kernel(u, dt, Bs, Cs, consts, H, W, directions,
                              memory_space=pltpu.VMEM)
         y = pl.pallas_call(
             functools.partial(_fused_quad_ln_kernel, H, W, C, true_c,
-                              int(dirn)),
+                              int(dirn), quant),
             grid=(B,),
             in_specs=[spec, spec, sspec, sspec,
                       pl.BlockSpec((None, 8, C), lambda i, g=g: (g, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((None, H, W * C), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, H, W * C), u.dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, H, W * C), jnp.bfloat16 if quant else u.dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
@@ -708,6 +718,28 @@ def _sscan_quad_ln_cat_bwd(H, W, directions, true_c, res, go):
 
 
 sscan_quad_ln_cat.defvjp(_sscan_quad_ln_cat_fwd, _sscan_quad_ln_cat_bwd)
+
+
+def sscan_quad_ln_cat_q8(u_q, dt_q, su, sdt, Bs, Cs, A, bias, Dv, ln,
+                         H, W, directions):
+    """:func:`sscan_quad_ln_cat` with int8-quantized u/dt operands —
+    the sub-bf16 activation-storage experiment (r3 verdict #2): the
+    (B, K, L, C) boundary tensors (and the relayout copies they pay on
+    the way in) move half the bytes. ``su``/``sdt``: per-lane (K, C)
+    dequantization scales (amax/127); applied in-kernel before the
+    softplus/decay prologue, so the math past dequantization is
+    identical to the bf16 path. FORWARD ONLY (no VJP): gated by
+    CEIGM_QUANT for inference measurement; training keeps bf16."""
+    interpret = jax.default_backend() != "tpu"
+    ln_s, ln_b = ln
+    consts = jnp.stack([A.astype(jnp.float32), bias.astype(jnp.float32),
+                        Dv.astype(jnp.float32), ln_s.astype(jnp.float32),
+                        ln_b.astype(jnp.float32), su.astype(jnp.float32),
+                        sdt.astype(jnp.float32)])
+    outs = _sscan_quad_ln_kernel(u_q, dt_q, Bs, Cs, consts, H, W,
+                                 tuple(directions), interpret=interpret,
+                                 merged=_use_merged(), quant=True)
+    return jnp.concatenate(outs, axis=-1)
 
 
 

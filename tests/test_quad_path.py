@@ -53,3 +53,21 @@ def test_quadgroup_grad_parity():
     for xa, xp in zip(flat_a, flat_p):
         np.testing.assert_allclose(np.asarray(xp), np.asarray(xa),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_quadgroup_quant_close(monkeypatch):
+    """CEIGM_QUANT=1 (int8 u/dt at the scan boundary, dynamic per-lane
+    scales) tracks the bf16 path within int8 quantization error. The
+    scan math past dequantization is identical, so the module output
+    must agree to ~1% of its dynamic range."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, 32)).astype(np.float32))
+    m = QuadGroupSS2D(dim=32, scan_backend="pallas")
+    params = m.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("CEIGM_QUANT", "0")
+    a = np.asarray(jax.jit(m.apply)(params, x))
+    monkeypatch.setenv("CEIGM_QUANT", "1")
+    b = np.asarray(jax.jit(m.apply)(params, x))
+    scale = np.abs(a).max()
+    assert np.abs(b - a).max() <= 0.02 * scale, (
+        np.abs(b - a).max(), scale)
