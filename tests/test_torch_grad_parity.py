@@ -213,7 +213,7 @@ def test_training_trajectory_parity(setup, optname):
         opt.zero_grad(set_to_none=True)
         loss.backward()
         opt.step()
-        losses_t.append(float(loss))
+        losses_t.append(float(loss.detach()))
     with torch.no_grad():
         final_t = net_t(torch.from_numpy(xs[0])).numpy()
 
