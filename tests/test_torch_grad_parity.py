@@ -187,8 +187,8 @@ def test_training_trajectory_parity(setup, optname):
     net, variables, x, labels = setup
     from ceigm_unet_tpu.models import build_model
     from ceigm_unet_tpu.convert import convert_msvm_unet_state_dict
-    import copy
     import optax
+    from ref_loader import load_reference
 
     N = 20
     LR = 1e-4
@@ -196,9 +196,17 @@ def test_training_trajectory_parity(setup, optname):
     xs = rng.standard_normal((2, 2, 1, IMG, IMG)).astype(np.float32)
     ys = rng.integers(0, 9, (2, 2, IMG, IMG)).astype(np.int64)
 
-    # ---- torch trajectory (fresh copy: the fixture net is shared)
-    net_t = copy.deepcopy(net)
+    # ---- torch trajectory. The fixture net is shared and an earlier
+    # test both steps its weights (opt.step mutates in place) and leaves
+    # non-leaf cached tensors in it (deepcopy refuses): rebuild a fresh
+    # net from a detached state_dict snapshot, and re-convert THAT
+    # snapshot for the JAX side so both trajectories start from
+    # identical weights regardless of test order.
+    sd = {k: v.detach().clone() for k, v in net.state_dict().items()}
+    net_t = load_reference().build_model(in_channels=3, num_classes=9)
+    net_t.load_state_dict(sd)
     net_t.eval()
+    variables = convert_msvm_unet_state_dict(sd)
     if optname == "sgd":
         opt = torch.optim.SGD(net_t.parameters(), lr=LR)
     else:
