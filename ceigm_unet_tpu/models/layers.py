@@ -138,8 +138,10 @@ def _use_fused_cffn() -> bool:
 def _mm_ffn_eligible(c: int) -> bool:
     """Channel counts the matmul-first FFN kernel handles: chunks of C
     lanes concatenate into full 128-lane MXU K-tiles (encoder stages 1-2
-    in the live configs: c = 64 / 128)."""
-    return c > 0 and (c % 128 == 0 or (c <= 128 and 128 % c == 0))
+    in the live configs: c = 64 / 128). c >= 16 because the bias-mask
+    chunk needs C rows to hold 9 tap columns (+headroom; smallest tested
+    width) — narrower C would make the (C-9)-row pad negative."""
+    return c >= 16 and (c % 128 == 0 or (c <= 128 and 128 % c == 0))
 
 
 def _use_fused_ffn(c: int = 0) -> bool:

@@ -189,10 +189,29 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
             return q, scale
         uq, su = q8(xc.reshape(B_, L, K, D))
         dq, sdt = q8(dt.reshape(B_, L, K, D))
-        y = sscan_quad_ln_cat_q8(
-            jnp.swapaxes(uq, 1, 2), jnp.swapaxes(dq, 1, 2), su, sdt,
-            Bt, Ct, A, bias, Ds, (ln_scale, ln_bias),
-            H, W, tuple(int(d) for d in directions))
+
+        # loud, descriptive failure under differentiation (the int8 scan
+        # kernel has no VJP — without this guard training with
+        # CEIGM_QUANT=1 dies in a pallas differentiation error deep in
+        # the graph; advisor r4)
+        @jax.custom_vjp
+        def _q8_scan(uq, dq, su, sdt, Bt, Ct, A, bias, Ds, lns, lnb):
+            return sscan_quad_ln_cat_q8(
+                uq, dq, su, sdt, Bt, Ct, A, bias, Ds, (lns, lnb),
+                H, W, tuple(int(d) for d in directions))
+
+        def _q8_fwd(*args):
+            return _q8_scan(*args), None
+
+        def _q8_bwd(res, g):
+            raise NotImplementedError(
+                "CEIGM_QUANT=1 selects the int8 activation-storage scan "
+                "path, which is inference-only (int8 rounding has no "
+                "gradient). Unset CEIGM_QUANT to train.")
+
+        _q8_scan.defvjp(_q8_fwd, _q8_bwd)
+        y = _q8_scan(jnp.swapaxes(uq, 1, 2), jnp.swapaxes(dq, 1, 2),
+                     su, sdt, Bt, Ct, A, bias, Ds, ln_scale, ln_bias)
         from ceigm_unet_tpu.utils.debug import check_nan_inf
         return check_nan_inf("quad_pergroup.y", y)
 

@@ -441,7 +441,10 @@ def _ffn_fwd(x, w1, b1, dwk, dwb, w2, b2):
     HID = w1.shape[1]
     B, H, W, C = x.shape
     dt = x.dtype
-    mm_ok = (C % 128 == 0) or (C <= 128 and 128 % C == 0)
+    # C >= 16: the bias-mask chunk pads b1*k_t (9 rows) up to C rows —
+    # narrower channel counts can't hold the 9 tap columns (the pad
+    # would be negative); matches models/layers.py:_mm_ffn_eligible
+    mm_ok = C >= 16 and ((C % 128 == 0) or (C <= 128 and 128 % C == 0))
     if mm_ok and os.environ.get("CEIGM_FFN_MM", "1") == "1":
         # matmul-first formulation: stacked tap weights (10*C, HID) —
         # rows [t*C:(t+1)*C] = W1 * k_t; rows [9*C + t] = b1 * k_t (the

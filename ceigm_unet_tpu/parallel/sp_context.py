@@ -35,6 +35,10 @@ def sp_scan_island(mesh: Mesh, axis: str = "sp"):
     """Route QuadGroupSS2D through the H-sharded shard_map island while
     tracing under this context."""
     global _ACTIVE
+    if axis not in mesh.axis_names:
+        raise ValueError(
+            f"sp_scan_island: axis {axis!r} is not a mesh axis "
+            f"(available: {tuple(mesh.axis_names)})")
     prev = _ACTIVE
     _ACTIVE = (mesh, axis)
     try:

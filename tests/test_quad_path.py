@@ -71,3 +71,17 @@ def test_quadgroup_quant_close(monkeypatch):
     scale = np.abs(a).max()
     assert np.abs(b - a).max() <= 0.02 * scale, (
         np.abs(b - a).max(), scale)
+
+
+def test_quadgroup_quant_train_raises(monkeypatch):
+    """CEIGM_QUANT=1 under differentiation fails LOUDLY with a
+    descriptive message (the int8 scan kernel has no VJP) instead of a
+    pallas differentiation error deep in the graph (advisor r4)."""
+    import pytest
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 4, 6, 32)).astype(np.float32))
+    m = QuadGroupSS2D(dim=32, scan_backend="pallas")
+    params = m.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("CEIGM_QUANT", "1")
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(params)
