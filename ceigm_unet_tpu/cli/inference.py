@@ -59,10 +59,15 @@ def test_single_volume(apply_fn, variables, image, label, num_classes,
 
 
 def run_inference(dataset, variables, num_classes: int, logger,
-                  patch_size=(224, 224)):
-    """Reference inference() aggregation (inference.py:114-173)."""
-    model = build_model(num_classes=num_classes, scan_backend="auto")
-    apply_fn = lambda v, x: model.apply(v, x)
+                  patch_size=(224, 224), apply_fn=None):
+    """Reference inference() aggregation (inference.py:114-173).
+
+    ``apply_fn(variables, x)`` defaults to the real model's apply;
+    injectable so the aggregation path is testable against an exact
+    synthetic predictor (tests/test_eval_metrics.py)."""
+    if apply_fn is None:
+        model = build_model(num_classes=num_classes, scan_backend="auto")
+        apply_fn = lambda v, x: model.apply(v, x)
 
     per_class = defaultdict(lambda: defaultdict(list))
     case_means = []
