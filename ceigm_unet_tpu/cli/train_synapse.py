@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=cfg.seed)
     p.add_argument("--pretrained-encoder", default=None)
     p.add_argument("--compute-dtype", default=cfg.compute_dtype)
+    p.add_argument("--device-aug", action="store_true",
+                   help="augment on device inside the sharded train step "
+                        "(raw 512² slices -> fused aug+resize, "
+                        "data/device_aug.py; tracked config 5)")
     a = p.parse_args(argv)
 
     import dataclasses
@@ -43,11 +47,13 @@ def main(argv=None):
         ckpt_dir=a.ckpt_dir, batch_size=a.batch_size,
         max_epochs=a.max_epochs, seed=a.seed,
         pretrained_encoder=a.pretrained_encoder,
-        compute_dtype=a.compute_dtype)
+        compute_dtype=a.compute_dtype, device_aug=a.device_aug)
 
     np.random.seed(cfg.seed)
     train_ds = SynapseDataset(cfg.data_dir + "/train_npz", "train",
-                              cfg.list_dir, cfg.img_size, seed=cfg.seed)
+                              cfg.list_dir, cfg.img_size, seed=cfg.seed,
+                              augment=not cfg.device_aug,
+                              keep_raw_size=cfg.device_aug)
     val = load_val_volumes(cfg.data_dir + "/test_vol_h5", cfg.list_dir)
     run_training(cfg, train_ds, val, max_steps=a.max_steps)
 

@@ -33,7 +33,13 @@ def _resolve_list_dir(list_dir: str) -> str:
         return list_dir
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    cand = os.path.join(repo_root, list_dir.lstrip("./"))
+    # strip only an explicit "./" prefix (lstrip("./") would eat a "../"
+    # parent reference or dotted leading components character-by-character
+    # and silently remap an escape path onto the vendored lists)
+    rel = list_dir[2:] if list_dir.startswith("./") else list_dir
+    cand = os.path.normpath(os.path.join(repo_root, rel))
+    if not (cand == repo_root or cand.startswith(repo_root + os.sep)):
+        return list_dir
     return cand if os.path.isdir(cand) else list_dir
 
 
@@ -68,7 +74,11 @@ class SynapseDataset:
     def __init__(self, base_dir: str, split: str = "train",
                  list_dir: str = "./lists/lists_Synapse",
                  img_size: int = 224, augment: bool = True,
-                 seed: int = 0, deep_supervision_scales=None):
+                 seed: int = 0, deep_supervision_scales=None,
+                 keep_raw_size: bool = False):
+        """``keep_raw_size``: emit train slices at source resolution
+        (no host zoom) — the feed for the on-device augmentation tier
+        (data/device_aug.py), which augments AND resizes on device."""
         self.base_dir = base_dir
         self.split = split
         self.img_size = img_size
@@ -76,6 +86,7 @@ class SynapseDataset:
         self.augment = augment and split == "train"
         self.rng = np.random.default_rng(seed)
         self.deep_supervision_scales = deep_supervision_scales
+        self.keep_raw_size = keep_raw_size
 
     def __len__(self):
         return len(self.samples)
@@ -95,7 +106,8 @@ class SynapseDataset:
             label = np.asarray(data["label"], np.float32)
             if self.augment:
                 image, label = augment_seg(rng, image, label)
-            image, label = _zoom_pair(image, label, self.img_size)
+            if not self.keep_raw_size:
+                image, label = _zoom_pair(image, label, self.img_size)
         else:
             import h5py
             path = os.path.join(self.base_dir, f"{name}.npy.h5")
@@ -113,7 +125,8 @@ class ACDCDataset:
     def __init__(self, base_dir: str, split: str = "train",
                  list_dir: str = "./lists/lists_ACDC",
                  img_size: int = 224, augment: bool = True,
-                 seed: int = 0, deep_supervision_scales=None):
+                 seed: int = 0, deep_supervision_scales=None,
+                 keep_raw_size: bool = False):
         self.base_dir = base_dir
         self.split = split
         self.img_size = img_size
@@ -121,6 +134,7 @@ class ACDCDataset:
         self.augment = augment and split == "train"
         self.rng = np.random.default_rng(seed)
         self.deep_supervision_scales = deep_supervision_scales
+        self.keep_raw_size = keep_raw_size
 
     def __len__(self):
         return len(self.samples)
@@ -136,7 +150,7 @@ class ACDCDataset:
         label = np.asarray(data["label"], np.float32)
         if self.split == "train" and self.augment:
             image, label = augment_seg(rng, image, label)
-        if self.split in ("train", "valid"):
+        if self.split in ("train", "valid") and not self.keep_raw_size:
             image, label = _zoom_pair(image, label, self.img_size)
         out = {"image": image, "label": label, "case_name": name}
         if self.deep_supervision_scales is not None:

@@ -18,7 +18,9 @@ full aug policy + order-3 zoom = ~17 ms/sample/core with the native
 warp/resize tier (ceigm_unet_tpu/native, default when g++ is present;
 ~55 ms/sample pure numpy/scipy) — ~1.4 cores saturate the r1 fp32 b48
 train step. On very-few-core hosts route training through the on-device
-augmentation tier (data/device_aug.py) instead.
+augmentation tier instead: ``TrainConfig.device_aug=True`` (CLI
+``--device-aug``) ships RAW slices and runs data/device_aug.py INSIDE the
+sharded train step (train/trainstep.py), with ``normalize=False`` here.
 """
 from __future__ import annotations
 

@@ -124,9 +124,29 @@ class LGAG(nn.Module):
                      mean=psi_bn.mean.value, var=psi_bn.var.value))
 
         def gconv(p):
+            kern = p.kernel.astype(self.dtype)
+            gd = g.astype(self.dtype)
+            if gsz == 2 and kern.shape[0] > 1 and self.groups == self.f_int:
+                # 2-in->1-out grouped conv as TWO depthwise convs summed:
+                # group i reads channels (2i, 2i+1), so
+                #   grouped(g, w) = dw(g[...,0::2], w[:,:,0]) +
+                #                   dw(g[...,1::2], w[:,:,1]).
+                # GSPMD partitions depthwise (groups==C) and dense convs
+                # over a batch-sharded mesh but ALL-GATHERS the batch for
+                # 1<groups<C windowed convs (probed on the 8-dev CPU
+                # mesh, r5; tests/test_dp_inference.py guards this) — and
+                # XLA's group-size-2 lowering is also the slow case the
+                # eval-mode tapconv kernel exists to avoid.
+                dw = lambda x, k: jax.lax.conv_general_dilated(
+                    x, k, (1, 1), "SAME",
+                    feature_group_count=self.groups,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return (dw(gd[..., 0::2], kern[:, :, 0:1, :])
+                        + dw(gd[..., 1::2], kern[:, :, 1:2, :])
+                        + p.bias.astype(self.dtype))
             return jax.lax.conv_general_dilated(
-                g.astype(self.dtype), p.kernel.astype(self.dtype),
-                (1, 1), "SAME", feature_group_count=self.groups,
+                gd, kern, (1, 1), "SAME",
+                feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC")) + \
                 p.bias.astype(self.dtype)
 

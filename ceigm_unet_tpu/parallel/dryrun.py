@@ -86,7 +86,7 @@ def run(n_devices: int) -> None:
     # Uses the tiny encoder so this adds seconds, not a second flagship
     # compile; tests/test_dp_equivalence.py runs the same check over 3
     # steps with full tree comparison.
-    def tiny_step(n: int):
+    def tiny_step(n: int, device_aug: bool = False):
         import optax
         m = build_model(num_classes=4, enc_name="gm_test",
                         scan_backend="assoc")
@@ -100,25 +100,44 @@ def run(n_devices: int) -> None:
         rp = NamedSharding(msh, P())
         st = jax.device_put(st, rp)
         rng0 = np.random.default_rng(5)
-        b = shard_batch(msh, {
-            "image": jnp.asarray(rng0.standard_normal((n_devices, 32, 32, 1)),
-                                 jnp.float32),
-            "label": jnp.asarray(rng0.integers(0, 4, (n_devices, 32, 32)),
-                                 jnp.int32)})
-        st2, mt = jax.jit(make_train_step(m, 0.4, 0.6),
-                          out_shardings=(rp, rp))(
+        if device_aug:
+            # raw-intensity 64² slices; the step augments + resizes to
+            # 32² + normalizes on device (tracked config 5)
+            b = shard_batch(msh, {
+                "image": jnp.asarray(
+                    rng0.uniform(0, 1, (n_devices, 64, 64, 1)),
+                    jnp.float32),
+                "label": jnp.asarray(
+                    rng0.integers(0, 4, (n_devices, 64, 64)), jnp.int32)})
+        else:
+            b = shard_batch(msh, {
+                "image": jnp.asarray(
+                    rng0.standard_normal((n_devices, 32, 32, 1)),
+                    jnp.float32),
+                "label": jnp.asarray(
+                    rng0.integers(0, 4, (n_devices, 32, 32)), jnp.int32)})
+        st2, mt = jax.jit(
+            make_train_step(m, 0.4, 0.6,
+                            device_aug_size=32 if device_aug else None),
+            out_shardings=(rp, rp))(
             st, b, jax.random.PRNGKey(3), jnp.asarray(False))
         return st2, float(mt["loss"])
 
-    s1, l1 = tiny_step(1)
-    sn, ln_ = tiny_step(n_devices)
-    assert abs(l1 - ln_) <= 1e-5 * max(1.0, abs(l1)), (l1, ln_)
-    for t1, tn in ((s1.params, sn.params),
-                   (s1.batch_stats, sn.batch_stats)):
-        for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(tn)):
-            a, b = np.asarray(a), np.asarray(b)
-            assert np.allclose(a, b, rtol=1e-5,
-                               atol=1e-8 + 1e-5 * np.abs(a).max())
+    def assert_equiv(s1, l1, sn, ln_):
+        assert abs(l1 - ln_) <= 1e-5 * max(1.0, abs(l1)), (l1, ln_)
+        for t1, tn in ((s1.params, sn.params),
+                       (s1.batch_stats, sn.batch_stats)):
+            for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(tn)):
+                a, b = np.asarray(a), np.asarray(b)
+                assert np.allclose(a, b, rtol=1e-5,
+                                   atol=1e-8 + 1e-5 * np.abs(a).max())
+
+    assert_equiv(*tiny_step(1), *tiny_step(n_devices))
+    # tracked config 5: DP training with ON-DEVICE augmentation — the
+    # fused aug tier runs inside the sharded step; per-sample keys are a
+    # pure function of (rng, B), so 1-dev == n-dev bit-level semantics
+    assert_equiv(*tiny_step(1, device_aug=True),
+                 *tiny_step(n_devices, device_aug=True))
 
 
 def main() -> None:

@@ -45,6 +45,13 @@ class TrainConfig:
     num_workers: int = 6
     compute_dtype: str = "float32"  # reference trains fp32 (precision=32)
     scan_backend: str = "auto"
+    # on-device augmentation tier (data/device_aug.py): raw slices go to
+    # the device and are augmented + resized to img_size INSIDE the
+    # sharded train step (one fused gather), replacing the CPU imgaug
+    # workers (reference dataset_synapse.py:61-72 -> train_synapse.py:
+    # 51-64). The BASELINE tracked config "DP training with on-device
+    # 512² augmentation" is this flag + a DP mesh.
+    device_aug: bool = False
 
 
 SYNAPSE_CONFIG = TrainConfig()

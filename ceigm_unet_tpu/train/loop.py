@@ -122,8 +122,12 @@ def run_training(cfg: TrainConfig, train_ds, val_volumes=None,
     model = build_model(num_classes=cfg.num_classes, enc_name=cfg.enc_name,
                         dtype=dtype, scan_backend=cfg.scan_backend)
 
+    # on-device aug (tracked config 5): raw slices travel to the device
+    # un-normalized; the compiled step augments + resizes + normalizes.
+    # The loader's normalize stays OFF so the step sees raw intensities.
     loader = DataLoader(train_ds, cfg.batch_size, shuffle=True,
-                        num_workers=cfg.num_workers, seed=cfg.seed)
+                        num_workers=cfg.num_workers, seed=cfg.seed,
+                        normalize=not cfg.device_aug)
     steps_per_epoch = max(1, len(loader))
 
     lr_sched = cosine_lr(cfg.lr, cfg.eta_min, cfg.max_epochs,
@@ -156,8 +160,11 @@ def run_training(cfg: TrainConfig, train_ds, val_volumes=None,
     mesh = make_mesh(n_dev)
     repl = replicated_sharding(mesh)
     state = jax.device_put(state, repl)
-    step_fn = jax.jit(make_train_step(model, cfg.ce_weight, cfg.dc_weight),
-                      out_shardings=(repl, repl))
+    step_fn = jax.jit(
+        make_train_step(model, cfg.ce_weight, cfg.dc_weight,
+                        device_aug_size=(cfg.img_size if cfg.device_aug
+                                         else None)),
+        out_shardings=(repl, repl))
     infer_fn = lambda variables, x: model.apply(variables, x)
 
     best_dice = -1.0

@@ -122,19 +122,41 @@ def _encoder_mask(params) -> Any:
 
 
 def make_train_step(model, ce_weight: float = 0.4, dc_weight: float = 0.6,
-                    loss_fn: Optional[Callable] = None):
+                    loss_fn: Optional[Callable] = None,
+                    device_aug_size: Optional[int] = None):
     """Returns ``train_step(state, batch, rng, freeze_encoder) ->
-    (state, metrics)``; batch = {"image": (B,H,W,1|3), "label": (B,H,W)}."""
+    (state, metrics)``; batch = {"image": (B,H,W,1|3), "label": (B,H,W)}.
+
+    With ``device_aug_size`` set, the batch instead carries RAW
+    (un-augmented, un-normalized, source-resolution) slices — image
+    (B, H, W, 1) float32, label (B, H, W) int — and the step applies the
+    fused on-device augmentation tier (data/device_aug.py: exact
+    SomeOf((0,4)) policy + zoom-to-patch as one gather) followed by the
+    Normalize(0.5, 0.5) INSIDE the compiled step, before the forward.
+    Augmentation keys derive from the step rng by a split, per-sample
+    via ``jax.random.split(key, B)`` — a pure function of (rng, B), so
+    results are bit-identical for any device-mesh size (the DP
+    bit-reproducibility contract; asserted by tests/test_device_aug.py
+    and parallel/dryrun.py)."""
     if loss_fn is None:
         loss_fn = functools.partial(dice_ce_loss, ce_weight=ce_weight,
                                     dc_weight=dc_weight)
 
     def compute_loss(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
+        image, label = batch["image"], batch["label"]
+        if device_aug_size is not None:
+            # split only on this path: the plain path's dropout stream
+            # stays byte-identical to prior rounds' runs
+            aug_rng, rng = jax.random.split(rng)
+            from ceigm_unet_tpu.data.device_aug import device_augment
+            img, label = device_augment(aug_rng, image[..., 0],
+                                        label, out_size=device_aug_size)
+            image = ((img - 0.5) / 0.5)[..., None]
         logits, mutated = model.apply(
-            variables, batch["image"], train=True,
+            variables, image, train=True,
             mutable=["batch_stats"], rngs={"dropout": rng})
-        loss = loss_fn(logits, batch["label"])
+        loss = loss_fn(logits, label)
         return loss, mutated["batch_stats"]
 
     def train_step(state: TrainState, batch, rng, freeze_encoder):

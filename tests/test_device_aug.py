@@ -119,3 +119,84 @@ def test_piecewise_inactive_is_exact_identity():
                             gy, gx, 48, 48)
     np.testing.assert_array_equal(np.asarray(qy), np.asarray(gy))
     np.testing.assert_array_equal(np.asarray(qx), np.asarray(gx))
+
+
+# ----------------------- device-aug INSIDE the sharded train step
+# (tracked config 5: the TPU-first replacement for the reference's CPU
+# imgaug workers, dataset_synapse.py:61-72 -> train_synapse.py:51-64)
+
+def _tiny_state_and_batch(n_items=8):
+    import optax
+    from ceigm_unet_tpu.models import build_model
+    from ceigm_unet_tpu.train.trainstep import create_train_state
+    model = build_model(num_classes=4, enc_name="gm_test",
+                        scan_backend="assoc")
+    tx = optax.sgd(1e-2, momentum=0.9)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 1), jnp.float32), tx)
+    rng = np.random.default_rng(9)
+    batch = {"image": jnp.asarray(rng.uniform(0, 1, (n_items, 64, 64, 1)),
+                                  jnp.float32),
+             "label": jnp.asarray(rng.integers(0, 4, (n_items, 64, 64)),
+                                  jnp.int32)}
+    return model, state, batch
+
+
+def test_train_step_device_aug_matches_external_aug():
+    """The step with ``device_aug_size`` set == manually augmenting with
+    the same derived key, normalizing, and running the plain step: the
+    fused-in-step tier changes WHERE the aug runs, not its semantics."""
+    from ceigm_unet_tpu.train.trainstep import make_train_step
+    model, state, batch = _tiny_state_and_batch()
+    key = jax.random.PRNGKey(3)
+
+    fused = jax.jit(make_train_step(model, 0.4, 0.6, device_aug_size=32))
+    s_fused, m_fused = fused(state, batch, key, jnp.asarray(False))
+
+    aug_key, model_key = jax.random.split(key)
+    img, lab = device_augment(aug_key, batch["image"][..., 0],
+                              batch["label"], out_size=32)
+    ext_batch = {"image": (((img - 0.5) / 0.5)[..., None]),
+                 "label": lab}
+    plain = jax.jit(make_train_step(model, 0.4, 0.6))
+    s_plain, m_plain = plain(state, ext_batch, model_key,
+                             jnp.asarray(False))
+
+    np.testing.assert_allclose(float(m_fused["loss"]),
+                               float(m_plain["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_fused.params),
+                    jax.tree.leaves(s_plain.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_train_step_device_aug_dp_equivalence():
+    """Aug-on DP step over the 8-device mesh == single device, full
+    param tree (per-sample aug keys are a pure function of (rng, B), so
+    the mesh size cannot change the augmentation draw)."""
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ceigm_unet_tpu.parallel import make_mesh, shard_batch
+    from ceigm_unet_tpu.train.trainstep import make_train_step
+    model, state, batch = _tiny_state_and_batch()
+
+    def run(n):
+        mesh = make_mesh(n)
+        repl = NamedSharding(mesh, P())
+        st = jax.device_put(state, repl)
+        b = shard_batch(mesh, batch)
+        step = jax.jit(make_train_step(model, 0.4, 0.6,
+                                       device_aug_size=32),
+                       out_shardings=(repl, repl))
+        st2, mt = step(st, b, jax.random.PRNGKey(3), jnp.asarray(False))
+        return st2, float(mt["loss"])
+
+    s1, l1 = run(1)
+    s8, l8 = run(8)
+    assert abs(l1 - l8) <= 1e-5 * max(1.0, abs(l1))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-5,
+                                   atol=1e-8 + 1e-5 * np.abs(a).max())

@@ -124,3 +124,62 @@ def test_sp_scan_island_kills_L_gather(setup):
     assert with_island < 4096, (
         f"scan island did not remove the island-stage L all-gather: "
         f"{with_island} vs {without}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs the virtual 8-device mesh")
+def test_sp_scan_island_production_stage_ratios(setup):
+    """r4 verdict #7: at 64² over 8 devices the two deepest stages
+    (H = 8, 4) don't all divide the mesh, so the island deliberately
+    skips them and small GSPMD gathers remain — leaving the claim
+    untested at the 512²-production ratio where EVERY stage divides.
+    128² over a 4-device mesh reproduces that ratio exactly (stages
+    H = 32, 16, 8, 4 — all divisible), including the H == mesh-size
+    boundary at the deepest stage. Assert NO mamba-side L all-gather at
+    ANY stage: the only gathers left are the ring scan's per-shard
+    summary exchanges (tens of elements)."""
+    import re
+    import functools
+    from jax.sharding import NamedSharding
+    from ceigm_unet_tpu.parallel.sp_context import sp_scan_island
+
+    model, variables, _ = setup
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 1)), jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "sp")))
+    vs = jax.device_put(variables, NamedSharding(mesh, P()))
+    f = jax.jit(model.apply,
+                out_shardings=NamedSharding(mesh, P(None, "sp")))
+    with sp_scan_island(mesh, "sp"):
+        txt = f.lower(vs, xs).compile().as_text()
+
+    # (probed r5: at THIS geometry the plain-GSPMD baseline happens to
+    # partition the associative scan without a full-L gather, so a
+    # with/without differential is not the signal here; the island's
+    # win over plain GSPMD is pinned by the 64² test above. What this
+    # production-ratio compile must prove:)
+    worst = 0
+    stages_in_island = set()
+    for ln in txt.splitlines():
+        s = ln.strip()
+        m = re.match(r"%?[\w.\-]+ = \w+\[([\d,]*)\][^ ]* "
+                     r"(?:all-gather|all_gather)\(", s)
+        if m and "/mamba/" in s:
+            n = functools.reduce(
+                lambda a, d: a * int(d),
+                [d for d in m.group(1).split(",") if d], 1)
+            worst = max(worst, n)
+        sm = re.search(r"encoder/block(\d)_\d+/attn/mamba/shard_map", s)
+        if sm:
+            stages_in_island.add(int(sm.group(1)))
+    # 1. EVERY encoder stage (H = 32, 16, 8 and the H == mesh-size
+    #    boundary stage H = 4) entered the shard_map island — no
+    #    divisibility fallback anywhere
+    assert stages_in_island == {1, 2, 3, 4}, stages_in_island
+    # 2. nothing mamba-side gathers beyond the ring scan's per-shard
+    #    summaries ((4, 1, W, 1)-class, tens of elements) — an island
+    #    fallback at the deepest stage would show as a
+    #    (1, 4, 4, 64) = 1024-elem GSPMD gather
+    assert 0 < worst <= 256, (
+        f"an island stage still all-gathers L: {worst}")
