@@ -215,6 +215,23 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
         from ceigm_unet_tpu.utils.debug import check_nan_inf
         return check_nan_inf("quad_pergroup.y", y)
 
+    if cat and _use_blast() == 1:
+        # batch-LAST boundary (r5 layout restructure, CEIGM_BLAST=1):
+        # the kernel consumes (K, D, L, B) — B in the lanes, where the
+        # GEMM emitters already put it — instead of forcing the
+        # (B, K, L, D) row-major relayout (ops/quad_scan_bl.py).
+        from ceigm_unet_tpu.ops.quad_scan_bl import sscan_quad_ln_cat_bl
+        u_bl = jnp.transpose(xc.reshape(B_, L, K, D), (2, 3, 1, 0))
+        dt_bl = jnp.transpose(dt.reshape(B_, L, K, D), (2, 3, 1, 0))
+        bs_bl = jnp.transpose(Bs, (2, 1, 0))           # (K, L, B)
+        cs_bl = jnp.transpose(Cs, (2, 1, 0))
+        y2 = sscan_quad_ln_cat_bl(u_bl, dt_bl, bs_bl, cs_bl, A, bias,
+                                  Ds, (ln_scale, ln_bias), H, W,
+                                  tuple(int(d) for d in directions))
+        y = jnp.transpose(y2, (2, 1, 0))               # (B, L, K*D)
+        from ceigm_unet_tpu.utils.debug import check_nan_inf
+        return check_nan_inf("quad_pergroup.y", y)
+
     ut = jnp.swapaxes(xc.reshape(B_, L, K, D), 1, 2)   # (B, K, L, D)
     dtt = jnp.swapaxes(dt.reshape(B_, L, K, D), 1, 2)
     scan = sscan_quad_ln_cat if cat else sscan_quad_ln
@@ -222,6 +239,20 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
              H, W, tuple(int(d) for d in directions))
     from ceigm_unet_tpu.utils.debug import check_nan_inf
     return check_nan_inf("quad_pergroup.y", y)
+
+
+def _use_blast() -> int:
+    """Level of the batch-last quad restructure (ops/quad_scan_bl.py;
+    r5 verdict #1 experiment flag). CEIGM_BLAST: 0 off, 1 = batch-last
+    KERNEL boundary only (transposes at the scan edges), 2 = the fully
+    transposed sandwich — in-proj/dt GEMMs, dwconv, scan, gate and
+    out-proj all computed in (C, L*B) space, so every operand sits in
+    the tokens-minor physical layout XLA's emitters pick and only ONE
+    entry/exit transpose per quad block remains. Differentiable at both
+    levels (recompute custom VJPs)."""
+    import os
+    v = os.environ.get("CEIGM_BLAST", "0")
+    return int(v) if v.isdigit() else 0
 
 
 def _use_quant() -> bool:
@@ -512,6 +543,58 @@ class QuadGroupSS2D(nn.Module):
                 in_specs=(_P(), _P(None, axis, None, None)),
                 out_specs=_P(None, axis, None, None))
             return f(fparams, x.astype(self.dtype))
+
+        if (quad_fast and self.d_state == 1 and not use_planar
+                and _use_blast() >= 2):
+            # CEIGM_BLAST=2: fully transposed sandwich. One entry
+            # transpose to (C, L*B); every GEMM runs with tokens in the
+            # lanes (the layout XLA's batch-in-lanes emitters choose
+            # anyway — the NHWC formulation pays ~7x 49 MiB relayouts
+            # per stage-1 block to keep bouncing between views, r5 copy
+            # attribution); dwconv + scan are batch-last pallas kernels;
+            # one exit transpose back to NHWC.
+            from ceigm_unet_tpu.ops.quad_scan_bl import (
+                dwconv_bl, sscan_quad_ln_cat_bl)
+            D = d_inner
+            xT = jnp.transpose(x.astype(self.dtype), (3, 1, 2, 0))
+            xTf = xT.reshape(C, L * B_)
+            xc2 = jnp.swapaxes(w_xc_bd, 0, 1) @ xTf        # (Din, L*B)
+            z2 = nn.silu(jnp.swapaxes(w_z_bd, 0, 1) @ xTf)
+            dwb_a = (dwb if dwb is not None
+                     else jnp.zeros((Din,), jnp.float32))
+            xc2 = nn.silu(dwconv_bl(xc2.reshape(Din, H, W, B_), dwk,
+                                    dwb_a, H, W).reshape(Din, L * B_))
+            # x_dbl with ROW-reordered weights [dts k-major | B | C]:
+            # every consumer is then a contiguous row slice
+            bd = jax.scipy.linalg.block_diag
+            w2 = jnp.concatenate([
+                bd(*[p.x_proj_weight[k][:R] for k in range(K)]),
+                bd(*[p.x_proj_weight[k][R:R + 1] for k in range(K)]),
+                bd(*[p.x_proj_weight[k][R + 1:R + 2] for k in range(K)]),
+            ], axis=0).astype(self.dtype)                  # (K(R+2), KD)
+            x_dbl2 = w2 @ xc2
+            dts2 = x_dbl2[:K * R]
+            Bs2 = x_dbl2[K * R:K * R + K].reshape(K, L, B_)
+            Cs2 = x_dbl2[K * R + K:].reshape(K, L, B_)
+            wdt2 = bd(*[p.dt_projs_weight[k] for k in range(K)]).astype(
+                self.dtype)                                # (KD, KR)
+            dt2 = wdt2 @ dts2                              # (KD, L*B)
+
+            A = -jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D)
+            bias = p.dt_projs_bias.astype(jnp.float32)
+            Dsv = p.Ds.astype(jnp.float32).reshape(K, D)
+            y2 = sscan_quad_ln_cat_bl(
+                xc2.reshape(K, D, L, B_), dt2.reshape(K, D, L, B_),
+                Bs2, Cs2, A, bias, Dsv, (ln_scale, ln_bias), H, W,
+                tuple(int(d) for d in self.directions))    # (KD, L, B)
+            wout_bd = jax.scipy.linalg.block_diag(
+                *[w_out[k] for k in range(K)]).astype(self.dtype)
+            gated = y2.reshape(Din, L * B_).astype(self.dtype) * z2
+            out2 = jnp.swapaxes(wout_bd, 0, 1) @ gated     # (C, L*B)
+            from ceigm_unet_tpu.utils.debug import check_nan_inf
+            return check_nan_inf(
+                "quad_sandwich.out",
+                jnp.transpose(out2.reshape(C, H, W, B_), (3, 1, 2, 0)))
 
         xp = x.astype(self.dtype).reshape(B_ * L, C)
         # two GEMMs (not one + lane slice): each output feeds a

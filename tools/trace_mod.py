@@ -1,7 +1,7 @@
 """Module-path attribution: join device-trace op durations with the
 compiled HLO's op_name metadata, then aggregate by model module.
 
-python tools/trace_mod.py [depth [batch]]   (full model, real TPU)
+python tools/trace_mod.py [depth [batch [hw]]]   (full model, real TPU)
 python tools/trace_mod.py [depth] --from-dump   (re-aggregate offline)
 
 Raw (duration, op, module) rows are dumped to /tmp/trace_mod_rows.json so
@@ -28,11 +28,11 @@ print = functools.partial(print, flush=True)
 DUMP = "/tmp/trace_mod_rows.json"
 
 
-def collect(B: int):
+def collect(B: int, hw: int = 224):
     from ceigm_unet_tpu.models import build_model
     model = build_model(num_classes=9, dtype=jnp.bfloat16,
                         scan_backend="auto")
-    x = jnp.ones((B, 224, 224, 1), jnp.float32)
+    x = jnp.ones((B, hw, hw, 1), jnp.float32)
     v = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
     fn = lambda q: model.apply(v, q)
 
@@ -64,7 +64,8 @@ def main():
             rows = json.load(f)
     else:
         B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-        rows = collect(B)
+        hw = int(sys.argv[3]) if len(sys.argv) > 3 else 224
+        rows = collect(B, hw)
     total = sum(d for d, _, _ in rows)
     mods = defaultdict(lambda: [0.0, 0])
     for d, n, p in rows:
