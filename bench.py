@@ -94,9 +94,9 @@ def main():
     # a headline number beats a stack trace: if a custom kernel fails to
     # lower/run on this toolchain, retry on progressively safer paths
     # (the env gates are read at trace time)
-    fallbacks = [None, ("CEIGM_LGAG", "0"), ("CEIGM_CFFN", "0"),
-                 ("CEIGM_GS_BAND", "0"), ("CEIGM_GS_FUSED", "0"),
-                 ("CEIGM_QUAD", "0")]
+    fallbacks = [None, ("CEIGM_BLAST", "0"), ("CEIGM_LGAG", "0"),
+                 ("CEIGM_CFFN", "0"), ("CEIGM_GS_BAND", "0"),
+                 ("CEIGM_GS_FUSED", "0"), ("CEIGM_QUAD", "0")]
     slices_per_sec = None
     active = []
     for fb in fallbacks:

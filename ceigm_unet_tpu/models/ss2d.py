@@ -249,10 +249,15 @@ def _use_blast() -> int:
     out-proj all computed in (C, L*B) space, so every operand sits in
     the tokens-minor physical layout XLA's emitters pick and only ONE
     entry/exit transpose per quad block remains. Differentiable at both
-    levels (recompute custom VJPs)."""
+    levels (recompute custom VJPs).
+
+    Returns -1 when the env is unset — the module then defaults to
+    level 2 for batches >= 64 (lanes hold the batch: measured +4.3 ms
+    at b128 224² bf16, r5) and 0 for small batches (the b8 512² regime
+    would waste 15/16 of every lane tile)."""
     import os
-    v = os.environ.get("CEIGM_BLAST", "0")
-    return int(v) if v.isdigit() else 0
+    v = os.environ.get("CEIGM_BLAST", "")
+    return int(v) if v.isdigit() else -1
 
 
 def _use_quant() -> bool:
@@ -544,8 +549,11 @@ class QuadGroupSS2D(nn.Module):
                 out_specs=_P(None, axis, None, None))
             return f(fparams, x.astype(self.dtype))
 
+        blast = _use_blast()
+        if blast < 0:
+            blast = 2 if B_ >= 64 else 0
         if (quad_fast and self.d_state == 1 and not use_planar
-                and _use_blast() >= 2):
+                and blast >= 2):
             # CEIGM_BLAST=2: fully transposed sandwich. One entry
             # transpose to (C, L*B); every GEMM runs with tokens in the
             # lanes (the layout XLA's batch-in-lanes emitters choose
@@ -562,8 +570,24 @@ class QuadGroupSS2D(nn.Module):
             z2 = nn.silu(jnp.swapaxes(w_z_bd, 0, 1) @ xTf)
             dwb_a = (dwb if dwb is not None
                      else jnp.zeros((Din,), jnp.float32))
-            xc2 = nn.silu(dwconv_bl(xc2.reshape(Din, H, W, B_), dwk,
-                                    dwb_a, H, W).reshape(Din, L * B_))
+            import os
+            if os.environ.get("CEIGM_BLDW", "xla") == "xla":
+                # XLA depthwise directly in CHWN space — measured
+                # 82.95 vs 86.77 ms with the pallas batch-last conv
+                # (the 9-tap f32 concat-shift kernel is VPU-bound;
+                # XLA's CHWN emitter handles this layout natively)
+                xc4 = jax.lax.conv_general_dilated(
+                    xc2.reshape(Din, H, W, B_),
+                    dwk.astype(self.dtype), (1, 1), "SAME",
+                    feature_group_count=Din,
+                    dimension_numbers=("CHWN", "HWIO", "CHWN"))
+                xc4 = xc4 + dwb_a.astype(self.dtype)[:, None, None,
+                                                     None]
+                xc2 = nn.silu(xc4.reshape(Din, L * B_))
+            else:
+                xc2 = nn.silu(dwconv_bl(xc2.reshape(Din, H, W, B_),
+                                        dwk, dwb_a, H,
+                                        W).reshape(Din, L * B_))
             # x_dbl with ROW-reordered weights [dts k-major | B | C]:
             # every consumer is then a contiguous row slice
             bd = jax.scipy.linalg.block_diag

@@ -171,11 +171,21 @@ def _multi_body(true_c, backs, is_cm, *refs):
             refs[5 * nj + j], refs[6 * nj + j])
 
 
-def _chunks(L, B, D, itemsize, budget=2 << 20):
+def _budget() -> int:
+    """Per-operand VMEM chunk budget (MiB) for the batch-last kernels;
+    CEIGM_BL_BUDGET sweeps it (hardware tuning knob). Read INSIDE the
+    jitted call builders — same-process flips do NOT retrace; sweep in
+    fresh processes."""
+    import os
+    return int(os.environ.get("CEIGM_BL_BUDGET", "2")) << 20
+
+
+def _chunks(L, B, D, itemsize, budget=None):
     """Largest divisor count keeping a (D, Lt, B) operand <= budget.
     Mosaic requires the sublane (second-minor) block dim Lt to be a
     multiple of 8 or the full extent — only halvings that keep Lt % 8
     == 0 are taken."""
+    budget = budget or _budget()
     n = 1
     while (L % (n * 2) == 0 and (L // (n * 2)) % 8 == 0
            and (L // n) * B * D * itemsize > budget):
@@ -242,7 +252,7 @@ def _bl_family(u, dt, Bs, Cs, consts, H, W, jobs, true_c,
     bs5 = Bs.reshape(K, H, W, B)
     cs5 = Cs.reshape(K, H, W, B)
     c6 = consts.reshape(K, 5, D, 1, 1, B)
-    budget = 2 << 20
+    budget = _budget()
     Wt = W
     if W * H * B * D * u.dtype.itemsize > budget:
         for cand in sorted((x for x in range(8, W, 8) if W % x == 0),
