@@ -60,6 +60,14 @@ def trace_ops(fn, *args, iters=3):
             if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
                 if e["name"].startswith("jit_"):
                     continue
+                # bare-numeric names are PARENT grouping spans whose
+                # duration covers their children (the r4 train trace's
+                # "0/1/2" 84-ms rows) — counting them double-books the
+                # step and mis-assigns ~84 ms to whatever bucket the
+                # name happens to match (the r4 "unexplained ~91 ms
+                # pallas bucket" was exactly this artifact)
+                if e["name"].isdigit():
+                    continue
                 if e["name"] not in rows:
                     rows[e["name"]] = [0.0, e.get("args", {}).get(
                         "long_name", "")]

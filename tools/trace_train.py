@@ -66,6 +66,9 @@ def main():
         fams[fam] = fams.get(fam, 0.0) + d
     for f, d in sorted(fams.items(), key=lambda kv: -kv[1])[:20]:
         print(f"    {d:8.3f}  {f}")
+    print("  -- top ops --")
+    for d, n, ln in rows[:25]:
+        print(f"    {d:8.3f}  {n[:34]:36s} {ln[:110]}")
 
 
 if __name__ == "__main__":
