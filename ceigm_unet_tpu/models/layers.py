@@ -80,16 +80,10 @@ class Pvt2Ffn(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        if _use_fused_ffn(c):
-            # one VMEM-resident kernel (ops/ffn_pallas.py) — measured
-            # and default OFF; see STATUS r4 postmortem
-            w1 = _DenseParams(c, self.hidden, trunc_normal(), name="fc1")
-            dwp = _DwParams(3, self.hidden, name="dwconv")
-            w2 = _DenseParams(self.hidden, c, trunc_normal(), name="fc2")
-            from ceigm_unet_tpu.ops.ffn_pallas import pvt2ffn_fused
-            return pvt2ffn_fused(
-                x.astype(self.dtype), w1.kernel, w1.bias, dwp.kernel,
-                dwp.bias, w2.kernel, w2.bias)
+        # (the fused PVT2FFN kernels that once hung off a CEIGM_FFN gate
+        # here were measured-and-lost on hardware and deleted in r5 —
+        # XLA's dwconv+fc2+LN mega-fusion already streams the hidden at
+        # ~83% of its traffic floor; postmortems in docs/STATUS.md)
         x = nn.Dense(self.hidden, kernel_init=trunc_normal(),
                      dtype=self.dtype, name="fc1")(x)
         x = dw_conv(self.hidden, 3, name="dwconv")(x)
@@ -133,36 +127,6 @@ def _use_fused_cffn() -> bool:
     from ceigm_unet_tpu.ops.selective_scan import _resolve_backend
     return (os.environ.get("CEIGM_CFFN", "1") == "1"
             and _resolve_backend("auto") == "pallas")
-
-
-def _mm_ffn_eligible(c: int) -> bool:
-    """Channel counts the matmul-first FFN kernel handles: chunks of C
-    lanes concatenate into full 128-lane MXU K-tiles (encoder stages 1-2
-    in the live configs: c = 64 / 128). c >= 16 because the bias-mask
-    chunk needs C rows to hold 9 tap columns (+headroom; smallest tested
-    width) — narrower C would make the (C-9)-row pad negative."""
-    return c >= 16 and (c % 128 == 0 or (c <= 128 and 128 % c == 0))
-
-
-def _use_fused_ffn(c: int = 0) -> bool:
-    """Gate for the VMEM-resident fused PVT2FFN kernel
-    (ops/ffn_pallas.py). CEIGM_FFN: "0" off, "1" = stages where the
-    matmul-first kernel applies (see _mm_ffn_eligible — the r3
-    hidden-shift kernel lost its model A/B, so only the mm formulation
-    is default-worthy), "all" everywhere, or an integer N > 1 = fused
-    only where the model dim c >= N. At stage 1 (c=64) XLA's
-    dwconv+fc2+LN-stat mega-fusion streams the 205 MB hidden ~2.5
-    passes/block (~1.4 ms/block, r3 HLO/trace); the mm kernel keeps the
-    hidden in VMEM and runs the taps as full-tile MXU GEMMs."""
-    import os
-    from ceigm_unet_tpu.ops.selective_scan import _resolve_backend
-    v = os.environ.get("CEIGM_FFN", "0")
-    if v == "0" or _resolve_backend("auto") != "pallas":
-        return False
-    if v == "1":
-        return (_mm_ffn_eligible(c)
-                if os.environ.get("CEIGM_FFN_MM", "1") == "1" else True)
-    return v == "all" or (v.isdigit() and c >= int(v))
 
 
 class InceptionDWConvMultiScale(nn.Module):

@@ -141,8 +141,10 @@ def _quad_pergroup(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
     block-diagonal dense GEMMs, then one pallas launch per group scanning
     its (H, W*D) block in its own direction with the group-LN fused in
     the kernel (ops/quad_scan.py:sscan_quad_ln). B/C enter as per-pixel
-    scalar maps, lane-expanded in-kernel. Kept as the CEIGM_PLANAR=0
-    alternative to the planar kernel for model-level A/B.
+    scalar maps, lane-expanded in-kernel. (The v5 planar all-direction
+    kernel that A/B'd against this path lost on hardware — r3 — and was
+    deleted in r5 after the batch-last sandwich superseded its goal;
+    postmortem in docs/STATUS.md.)
 
     xc: (B, H, W, K*D) planar post conv+silu -> normalized (ungated)
     activation (B, K, L, D) in `dtype`, pixel-ordered (merge-free) — or
@@ -266,82 +268,6 @@ def _use_quant() -> bool:
     Inference-only — the quantization has no gradient."""
     import os
     return os.environ.get("CEIGM_QUANT", "0") == "1"
-
-
-def _use_planar() -> bool:
-    """Opt-in gate for the v5 planar all-direction kernel
-    (ops/quad_scan.py:sscan_planar_ln). Default OFF: the model-level A/B
-    (tools/exp_quad_ab.py, r3) measured planar at 78.2 ms vs the
-    per-group v3 path's 72.3 ms on the same tree — the full-lane-width
-    redundant scans plus the per-call I/O floor cost more than the
-    boundary relayouts they remove. Kept for re-evaluation if Mosaic
-    grows cheaper lane-masked scans or in-kernel (L,C)<->(H,W*C) retiles.
-    """
-    import os
-    return os.environ.get("CEIGM_PLANAR", "0") == "1"
-
-
-def _quad_planar(xc, p, R, ln_scale, ln_bias, directions, H, W, D,
-                 dtype):
-    """Group-planar fused quad path feeding ONE planar pallas kernel that
-    scans every group in its own direction with the group-LN fused in
-    (ops/quad_scan.py:sscan_planar_ln, v5). All tensors stay in the
-    planar padded (B, L, Dp) layout the GEMMs emit — the
-    (B,L,K,D)<->(B,K,L,D) relayouts of the per-group kernel era are gone,
-    and the kernel contains no matmuls:
-
-    - dt's rank-R bottleneck is collapsed at trace time
-      (xc @ Wx_dt) @ Wdt == xc @ (Wx_dt @ Wdt), one block-diagonal GEMM;
-    - the per-pixel scalar B/C projections are lane-tiled in the WEIGHT
-      (each group's projection row repeated Dg times), so the GEMM output
-      is already the lane-broadcast (B, L, Dp) map the scan consumes;
-    - groups are padded to Dg = next_pow2(D) lanes (identity at the
-      pow2 stage widths that dominate) for the kernel's butterfly LN.
-
-    xc: (B, H, W, K*D) planar post conv+silu -> normalized (ungated)
-    activation (B, L, Dp) PADDED planar in `dtype` (pad lanes zero); the
-    z-gate + out-projection run at the padded width in the caller.
-    """
-    from ceigm_unet_tpu.ops.quad_scan import sscan_planar_ln, _group_lanes
-    K = len(directions)
-    B_ = xc.shape[0]
-    L = H * W
-    Din = K * D
-    Dg = _group_lanes(D)
-    Dp = K * Dg
-    xcf = xc.reshape(B_ * L, Din)
-
-    wx = p.x_proj_weight.astype(dtype)                  # (K, R+2, D)
-    wdt = p.dt_projs_weight.astype(dtype)               # (K, D, R)
-    # collapsed dt path: (D, Dg) per group, zero pad columns
-    wdt_full = jnp.einsum("krd,ker->kde", wx[:, :R], wdt)
-    pad_cols = ((0, 0), (0, 0), (0, Dg - D))
-    wdt_bd = jax.scipy.linalg.block_diag(
-        *jnp.pad(wdt_full, pad_cols))                   # (Din, Dp)
-    # lane-tiled B/C projection columns (broadcast built into the GEMM)
-    wB_bd = jax.scipy.linalg.block_diag(
-        *jnp.broadcast_to(wx[:, R, :, None], (K, D, Dg)))
-    wC_bd = jax.scipy.linalg.block_diag(
-        *jnp.broadcast_to(wx[:, R + 1, :, None], (K, D, Dg)))
-
-    dt = (xcf @ wdt_bd).reshape(B_, L, Dp)
-    Bexp = (xcf @ wB_bd).reshape(B_, L, Dp)
-    Cexp = (xcf @ wC_bd).reshape(B_, L, Dp)
-    if Dg == D:
-        u = xc.reshape(B_, L, Dp)
-    else:
-        u = jnp.pad(xc.reshape(B_, L, K, D),
-                    ((0, 0), (0, 0), (0, 0), (0, Dg - D))
-                    ).reshape(B_, L, Dp)
-
-    A = -jnp.exp(p.A_logs.astype(jnp.float32)).reshape(K, D)
-    bias = p.dt_projs_bias.astype(jnp.float32)
-    Ds = p.Ds.astype(jnp.float32).reshape(K, D)
-    y = sscan_planar_ln(u, dt, Bexp, Cexp, A, bias, Ds,
-                        (ln_scale, ln_bias), H, W, D,
-                        tuple(int(d) for d in directions))
-    from ceigm_unet_tpu.utils.debug import check_nan_inf
-    return check_nan_inf("quad_planar.y", y)
 
 
 class _SSMParams(nn.Module):
@@ -480,17 +406,10 @@ class QuadGroupSS2D(nn.Module):
         # MXU-tiled (C x 2*Din) GEMM; the zero blocks are free FLOPs.
         w_in = self.param("in_proj_weight", trunc_normal(),
                           (K, dg, 2 * d_inner))
-        from ceigm_unet_tpu.ops.quad_scan import _group_lanes
-        Dg = _group_lanes(d_inner)
-        use_planar = quad_fast and _use_planar()
-        # on the planar path z runs at the kernel's padded planar width
-        # (zero columns per group) so the gate + out-proj stay slice-free
-        zpad = (Dg - d_inner) if use_planar else 0
         w_xc_bd = jax.scipy.linalg.block_diag(
             *[w_in[k][:, :d_inner] for k in range(K)]).astype(self.dtype)
         w_z_bd = jax.scipy.linalg.block_diag(
-            *[jnp.pad(w_in[k][:, d_inner:], ((0, 0), (0, zpad)))
-              for k in range(K)]).astype(self.dtype)
+            *[w_in[k][:, d_inner:] for k in range(K)]).astype(self.dtype)
 
         from ceigm_unet_tpu.models.layers import _DwParams
         dwp = _DwParams(self.d_conv, Din, use_bias=self.conv_bias,
@@ -552,8 +471,7 @@ class QuadGroupSS2D(nn.Module):
         blast = _use_blast()
         if blast < 0:
             blast = 2 if B_ >= 64 else 0
-        if (quad_fast and self.d_state == 1 and not use_planar
-                and blast >= 2):
+        if quad_fast and self.d_state == 1 and blast >= 2:
             # CEIGM_BLAST=2: fully transposed sandwich. One entry
             # transpose to (C, L*B); every GEMM runs with tokens in the
             # lanes (the layout XLA's batch-in-lanes emitters choose
@@ -625,35 +543,22 @@ class QuadGroupSS2D(nn.Module):
         # different consumer layout; slicing a fused GEMM output
         # costs a relayout
         xc = (xp @ w_xc_bd).reshape(B_, L, Din)
-        z = nn.silu(xp @ w_z_bd)            # (B*L, Din + K*zpad)
+        z = nn.silu(xp @ w_z_bd)            # (B*L, Din)
 
         from ceigm_unet_tpu.ops.dwconv_pallas import depthwise_conv2d
         xc = xc.reshape(B_, H, W, Din)
         xc = nn.silu(depthwise_conv2d(xc, dwk, dwb))
 
         if quad_fast and self.d_state == 1:
-            if use_planar:
-                Dp = K * Dg
-                yg = _quad_planar(xc, p, R, ln_scale, ln_bias,
-                                  self.directions, H, W, d_inner,
-                                  self.dtype)   # (B, L, Dp) normalized
-                yt = yg.reshape(B_ * L, Dp)
-                # out-proj rows zero-padded to the planar width — the
-                # padded lanes (zero in both yt and z) never get
-                # unpadded anywhere
-                wout_bd = jax.scipy.linalg.block_diag(
-                    *[jnp.pad(w_out[k], ((0, Dg - d_inner), (0, 0)))
-                      for k in range(K)]).astype(self.dtype)
-            else:
-                # lane-concatenated (B, L, Din) straight from the
-                # scan outputs — no group-planar stack + swapaxes
-                yt = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
-                                    self.directions, H, W, d_inner,
-                                    self.dtype, cat=True).reshape(
-                                        B_ * L, Din)
-                wout_bd = jax.scipy.linalg.block_diag(
-                    *[w_out[k] for k in range(K)]).astype(self.dtype)
-            # z-gate fused into the out-proj GEMM prologue (z is planar)
+            # lane-concatenated (B, L, Din) straight from the
+            # scan outputs — no group-planar stack + swapaxes
+            yt = _quad_pergroup(xc, p, R, ln_scale, ln_bias,
+                                self.directions, H, W, d_inner,
+                                self.dtype, cat=True).reshape(
+                                    B_ * L, Din)
+            wout_bd = jax.scipy.linalg.block_diag(
+                *[w_out[k] for k in range(K)]).astype(self.dtype)
+            # z-gate fused into the out-proj GEMM prologue
             out = (yt.astype(self.dtype) * z) @ wout_bd
             return out.reshape(B_, H, W, C)
 

@@ -26,5 +26,5 @@ __all__ = [
     "grid_sample_bilinear", "grid_sample_bilinear_mm", "depthwise_conv2d",
 ]
 from ceigm_unet_tpu.ops.quad_scan import (
-    scan2d, sscan_dir, sscan_quad_ln, sscan_planar_ln)
+    scan2d, sscan_dir, sscan_quad_ln)
 from ceigm_unet_tpu.ops.tapconv import lgag_gate_eval

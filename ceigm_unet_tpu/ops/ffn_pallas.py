@@ -1,25 +1,17 @@
-"""VMEM-resident fused PVT2FFN: fc1 -> depthwise 3x3 -> GELU -> fc2.
+"""VMEM-resident fused CustomFfn kernel (decoder-tail FFN).
 
-The unfused chain is HBM-bandwidth-bound on the hidden tensor: at the
-stage-1 shape (56², C=64, hidden=512, b64) it moves ~820 MB per block
-(fc1 write + dwconv read/write + fc2 read) and XLA's best fusion of it
-(the dwconv+fc2+LN mega-fusion, r3 HLO dump) still runs ~1.4 ms/block.
-This kernel keeps the hidden activation entirely in VMEM: HBM sees the
-(L, C) input once and the (L, C) output once (~50 MB) — the hidden
-tensor never exists in HBM.
+fc1 -> depthwise 3x3 -> GELU -> inception multi-scale mixer -> fc2 in
+ONE pallas call on the flat (L, C) pixel view: the hidden tensor never
+exists in HBM, and the 3x3/49-tap stencils run as masked sublane shifts
+(default ON — hardware A/B win, STATUS r3 session-7). Reference
+counterpart: custom_ffn + InceptionDWConv2d_MultiScale
+(gm-unet/model/gm/custom_mlp.py:205-233, 335-368).
 
-Layout: one grid step per batch item on the flat (L, C) pixel view
-(pixels in sublanes, channels in lanes — full MXU tiles for both GEMMs).
-The depthwise 3x3 runs as 9 masked sublane shifts of the (L, HID) hidden
-block: a (dy, dx) tap is one concat-shift by dy*W + dx with an iota mask
-killing pixels whose column index wrapped across a row edge (same
-pattern as the LGAG tap-conv kernel, ops/tapconv.py) — zero fill
-reproduces the 'SAME' zero padding exactly.
-
-Backward: recompute-based custom VJP through the equivalent XLA
-composition (`_ffn_ref`) — exact adjoint, unfused math (training path).
-
-Reference counterpart: PVT2FFN (gm-unet/model/gm/groupmamba.py:54-83).
+The sibling fused PVT2FFN kernels (hidden-shift v1 and matmul-first v2)
+were built, measured at model level on hardware, and LOST for structural
+reasons (v1: VPU-bound taps; v2: the tap fold pays 10x fc1's FLOPs so
+its MXU floor equals the displaced XLA cost) — deleted in r5;
+postmortems in docs/STATUS.md r3/r4.
 """
 from __future__ import annotations
 
@@ -77,171 +69,6 @@ def _dw_shift(h, L, W, K, taps):
         inner = _shift_sub(inner, dy * W)
         acc = inner if acc is None else acc + inner
     return acc
-
-
-def _ffn_mask_chunk(L, W, C, dtype):
-    """(L, C) tap-validity block: column t < 9 holds m_t(p) = 1 where the
-    (dy, dx) = (t//3-1, t%3-1) tap's source pixel p + dy*W + dx is inside
-    the image; columns >= 9 are zero. Matmul'ed against rows b1*k_t this
-    reproduces fc1's bias flowing through the zero-padded depthwise conv
-    EXACTLY (interior pixels see b1*sum(k); edge pixels see fewer taps)."""
-    H = L // W
-    p = jax.lax.broadcasted_iota(jnp.int32, (L, C), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (L, C), 1)
-    py, px = p // W, p % W
-    dy, dx = c // 3 - 1, c % 3 - 1
-    ok = ((c < 9)
-          & (py + dy >= 0) & (py + dy < H)
-          & (px + dx >= 0) & (px + dx < W))
-    return ok.astype(dtype)
-
-
-def _ffn_mm_kernel(L, W, G, C, x_ref, w1s_ref, w2_ref, consts_ref,
-                   out_ref):
-    """Matmul-first fused PVT2FFN: fc1 and the depthwise 3x3 are ONE
-    GEMM over shifted copies of the NARROW (L, C) input.
-
-    dw3x3(x @ W1)[p] = sum_t (x[p+t] @ W1) * k_t = sum_t shift_t(x) @
-    (W1 * k_t) — a 3x3 *full* conv with per-tap weight matrices. The
-    shifts move C lanes instead of HID (8x less VPU move traffic than
-    the hidden-shift formulation this replaces, which lost its model A/B
-    by running the taps as 9 wide fp32 FMAs on the VPU — same lesson as
-    the LGAG matmul-first rewrite, commit 2db59f5), and the tap
-    reduction runs on the MXU with full 128-lane K tiles: chunks
-    [shift_0(x) .. shift_8(x), maskblk] each (L, C) are lane-concatenated
-    in groups of 128//C and matmul'ed against the stacked (10*C, HID)
-    weight, accumulating in fp32. Cost: ~10x fc1's FLOPs on the MXU
-    (~0.17 ms/image-block at stage-1 b=1) against the ~1.4 ms/block HBM
-    mega-fusion it displaces; the hidden tensor never exists in HBM.
-
-    consts rows: [dwb, b2-in-head]."""
-    w2 = w2_ref[...]
-    maskblk = _ffn_mask_chunk(L, W, C, x_ref.dtype)
-    mm = _col_mask(L, W, -1).astype(x_ref.dtype)
-    mp = _col_mask(L, W, 1).astype(x_ref.dtype)
-    w1s = w1s_ref[...]
-    for g in range(G):
-        x = x_ref[g].reshape(L, C)
-        chunks = []
-        for t in range(9):
-            dy, dx = t // 3 - 1, t % 3 - 1
-            cm = mm if dx < 0 else (mp if dx > 0 else None)
-            sh = _shift_sub(x, dy * W + dx)
-            chunks.append(sh if cm is None else sh * cm)
-        chunks.append(maskblk)
-        # one 10*C-wide operand, one full-K-tile GEMM (fp32 accumulate)
-        x10 = jnp.concatenate(chunks, axis=1)
-        acc = jax.lax.dot_general(x10, w1s, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        gact = fast_gelu(acc + consts_ref[0:1, :])
-        o = jax.lax.dot_general(gact.astype(w2.dtype), w2,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        out_ref[g] = (o + consts_ref[1:2, :out_ref.shape[3]]).astype(
-            out_ref.dtype).reshape(out_ref.shape[1:3] + (C,))
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _ffn_mm_call(x, w1s, w2, consts, interpret=False):
-    """x: 4-D NHWC (B, H, W, C) — the kernel consumes the model's native
-    layout directly (a (B, L, C) boundary costs ~2 ms of relayout copies
-    model-wide, r4 trace) and flattens H, W inside VMEM."""
-    B, H, W, C = x.shape
-    L = H * W
-    HID = w2.shape[0]
-    # images per grid step: amortize the ~1.5 us/step fixed cost while
-    # keeping the fp32 hidden accumulator under ~32 MiB of VMEM
-    G = 1
-    hid_bytes = L * HID * 4
-    while G < 8 and B % (G * 2) == 0 and (G * 2) * hid_bytes <= (32 << 20):
-        G *= 2
-    spec_x = pl.BlockSpec((G, H, W, C), lambda i: (i, 0, 0, 0),
-                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_ffn_mm_kernel, L, W, G, C),
-        grid=(B // G,),
-        in_specs=[
-            spec_x,
-            pl.BlockSpec((10 * C, HID), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((HID, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, HID), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=spec_x,
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(x, w1s, w2, consts)
-
-
-def _ffn_kernel(L, W, G, x_ref, w1_ref, w2_ref, dwk_ref, consts_ref,
-                out_ref):
-    # consts rows: [b1, dwb] each (1, HID); b2 (1, C) in its own row tail
-    w1 = w1_ref[...]
-    w2 = w2_ref[...]
-    # column-edge masks shared by every image and dy row
-    mm = _col_mask(L, W, -1)
-    mp = _col_mask(L, W, 1)
-    for g in range(G):
-        x = x_ref[g]
-        h = jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        h = (h + consts_ref[0:1, :]).astype(jnp.float32)  # (L, HID) fp32
-
-        # depthwise 3x3: the three dx-shifted (masked) tensors are shared
-        # across the dy rows — 9 taps cost 4 shifts + 2 masks instead of
-        # 9 shifted+masked copies
-        sxm = _shift_sub(h, -1) * mm
-        sxp = _shift_sub(h, 1) * mp
-        acc = None
-        for dy in (-1, 0, 1):
-            t0 = (dy + 1) * 3
-            inner = (sxm * dwk_ref[t0:t0 + 1, :].astype(jnp.float32)
-                     + h * dwk_ref[t0 + 1:t0 + 2, :].astype(jnp.float32)
-                     + sxp * dwk_ref[t0 + 2:t0 + 3, :].astype(jnp.float32))
-            inner = _shift_sub(inner, dy * W)
-            acc = inner if acc is None else acc + inner
-        gact = fast_gelu(acc + consts_ref[1:2, :])
-
-        o = jax.lax.dot_general(gact.astype(w2.dtype), w2,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        out_ref[g] = (o + consts_ref[2:3, :out_ref.shape[2]]).astype(
-            out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
-def _ffn_call(x, w1, w2, dwk, consts, H, W, interpret=False):
-    B, L, C = x.shape
-    HID = w1.shape[1]
-    # batch G images per grid step to amortize the ~1.5 us/step fixed
-    # cost (26 blocks x 64 steps traced at ~2.5 ms model-wide without it)
-    G = 4 if B % 4 == 0 else 1
-    spec_x = pl.BlockSpec((G, L, C), lambda i: (i, 0, 0),
-                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_ffn_kernel, L, W, G),
-        grid=(B // G,),
-        in_specs=[
-            spec_x,
-            pl.BlockSpec((C, HID), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((HID, C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, HID), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, HID), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=spec_x,
-        out_shape=jax.ShapeDtypeStruct((B, L, C), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(x, w1, w2, dwk, consts)
 
 
 def _cffn_kernel(L, W, G, P, x_ref, w1_ref, w2_ref, dwk_ref, inck_ref,
@@ -408,77 +235,3 @@ def _cffn_bwd(H, W, n_tap, res, ct):
 custom_ffn_fused.defvjp(_cffn_fwd, _cffn_bwd)
 
 
-def _ffn_ref(x, w1, b1, dwk, dwb, w2, b2, H, W):
-    """Equivalent XLA composition (bwd recompute + CPU/fp32 reference)."""
-    B, L, C = x.shape
-    h = jnp.einsum("blc,ch->blh", x, w1) + b1.astype(x.dtype)
-    h4 = h.reshape(B, H, W, -1)
-    hc = jax.lax.conv_general_dilated(
-        h4, dwk.astype(h4.dtype), (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=h.shape[-1])
-    g = fast_gelu((hc + dwb.astype(hc.dtype)).reshape(B, L, -1)
-                  .astype(jnp.float32))
-    o = jnp.einsum("blh,hc->blc", g.astype(w2.dtype), w2)
-    return (o + b2.astype(o.dtype)).astype(x.dtype)
-
-
-@jax.custom_vjp
-def pvt2ffn_fused(x, w1, b1, dwk, dwb, w2, b2):
-    """Fused fc1 -> dw3x3 -> GELU -> fc2 on NHWC (B, H, W, C) input.
-
-    w1 (C, HID), b1 (HID), dwk (3, 3, 1, HID), dwb (HID), w2 (HID, C),
-    b2 (C). Returns (B, H, W, C) in x.dtype. The hidden tensor stays in
-    VMEM (never hits HBM); backward recomputes through the XLA
-    composition.
-    """
-    return _ffn_fwd(x, w1, b1, dwk, dwb, w2, b2)[0]
-
-
-def _ffn_fwd(x, w1, b1, dwk, dwb, w2, b2):
-    import os
-    interpret = jax.default_backend() != "tpu"
-    HID = w1.shape[1]
-    B, H, W, C = x.shape
-    dt = x.dtype
-    # C >= 16: the bias-mask chunk pads b1*k_t (9 rows) up to C rows —
-    # narrower channel counts can't hold the 9 tap columns (the pad
-    # would be negative); matches models/layers.py:_mm_ffn_eligible
-    mm_ok = C >= 16 and ((C % 128 == 0) or (C <= 128 and 128 % C == 0))
-    if mm_ok and os.environ.get("CEIGM_FFN_MM", "1") == "1":
-        # matmul-first formulation: stacked tap weights (10*C, HID) —
-        # rows [t*C:(t+1)*C] = W1 * k_t; rows [9*C + t] = b1 * k_t (the
-        # mask chunk's bias rows); remaining tail rows zero
-        k9 = dwk.reshape(9, HID).astype(jnp.float32)
-        w1f = w1.astype(jnp.float32)
-        w1s = jnp.concatenate(
-            [w1f * k9[t:t + 1, :] for t in range(9)]
-            + [jnp.pad(b1.astype(jnp.float32)[None, :] * k9,
-                       ((0, C - 9), (0, 0)))], axis=0)
-        consts = jnp.zeros((2, HID), jnp.float32)
-        consts = consts.at[0, :].set(dwb.astype(jnp.float32))
-        consts = consts.at[1, :b2.shape[0]].set(b2.astype(jnp.float32))
-        y = _ffn_mm_call(x, w1s.astype(dt), w2.astype(dt), consts,
-                         interpret=interpret)
-        return y, (x, w1, b1, dwk, dwb, w2, b2)
-    consts = jnp.zeros((3, HID), jnp.float32)
-    consts = consts.at[0, :].set(b1.astype(jnp.float32))
-    consts = consts.at[1, :].set(dwb.astype(jnp.float32))
-    consts = consts.at[2, :b2.shape[0]].set(b2.astype(jnp.float32))
-    y = _ffn_call(x.reshape(B, H * W, C), w1.astype(dt), w2.astype(dt),
-                  dwk.reshape(9, HID).astype(dt), consts, H, W,
-                  interpret=interpret)
-    return y.reshape(B, H, W, C), (x, w1, b1, dwk, dwb, w2, b2)
-
-
-def _ffn_bwd(res, ct):
-    x, w1, b1, dwk, dwb, w2, b2 = res
-    B, H, W, C = x.shape
-    _, vjp = jax.vjp(
-        lambda xf, *a: _ffn_ref(xf, *a, H, W).reshape(B, H, W, C),
-        x.reshape(B, H * W, C), w1, b1, dwk, dwb, w2, b2)
-    outs = vjp(ct)
-    return (outs[0].reshape(B, H, W, C),) + tuple(outs[1:])
-
-
-pvt2ffn_fused.defvjp(_ffn_fwd, _ffn_bwd)

@@ -741,270 +741,3 @@ def sscan_quad_ln_cat_q8(u_q, dt_q, su, sdt, Bs, Cs, A, bias, Dv, ln,
                                  merged=_use_merged(), quant=True)
     return jnp.concatenate(outs, axis=-1)
 
-
-
-# ---------------------------------------------------------------------------
-# v5: planar all-direction kernel.
-#
-# The v3 kernels consume group-planar (B, K, L, C) tensors, which XLA must
-# produce by transposing the (B, L, K*C) planar layout the projection GEMMs
-# emit — traced at ~17 ms/model of pure relayout copies (r3 trace). This
-# kernel eliminates that boundary: ONE pallas call reads the planar
-# (H, W*Dp) view (group-major — exactly the GEMM output bits), runs every
-# distinct direction's two-level scan over the full lane width (shift
-# stride Dp) and lane-masks each group to its direction. The full-width
-# scans cost more VPU arithmetic than per-group quarter-width ones, but
-# they replace the relayout copies (probe: tools/exp_planar.py).
-#
-# A v4 of this kernel expanded the per-pixel scalar B/C maps and reduced
-# the group-LN statistics with segmented-selector matmuls — measured at
-# 14.7 ms model-wide (16x the FLOPs of v3's per-group selectors, r3
-# trace). v5 removes every in-kernel matmul:
-#   - B/C arrive PRE-EXPANDED over lanes: the projection GEMM's weight
-#     columns are tiled per group (models/ss2d.py:_quad_planar), so the
-#     MXU does the broadcast for free and the kernel sees (B, L, Dp);
-#   - the group-LN mean/sq statistics are butterfly lane all-reduces:
-#     each group's lane block is a power of two (per-group padding), so
-#     log2(Dg) roll+select+add steps leave every lane holding its block
-#     sum — no selector matrices, no matmuls.
-# Lane layout: K groups x Dg lanes, Dg = next_pow2(D); true channels in
-# lanes [g*Dg, g*Dg+D), pad lanes carry zeros (u=0 -> b=0 -> h=0 -> y=0,
-# and zero ln scale/offset keeps the output's pad lanes zero, so the
-# caller feeds the padded width straight into a row-padded out-proj GEMM).
-# ---------------------------------------------------------------------------
-
-
-def _group_lanes(D: int, K: int = 4) -> int:
-    """Per-group padded lane-block width: smallest 2^p or 3*2^p >= D (the
-    butterfly reduction runs on the pow2 part with one radix-3 combine;
-    3*2^p keeps stage-3's 87-channel groups at 96 lanes instead of 128)
-    such that the total planar width K*Dg is lane-friendly (divides or is
-    a multiple of the 128-lane tile)."""
-    ok = lambda dp: dp % 128 == 0 or 128 % dp == 0
-    best = None
-    p = 1
-    while p < 4 * D:
-        for m in (1, 3):
-            dg = m * p
-            if dg >= D and ok(K * dg) and (best is None or dg < best):
-                best = dg
-        p *= 2
-    return best
-
-
-def _shift_pair(x, k):
-    """Lane shifts without wraparound: (x[lane+k], x[lane-k]) with zero
-    fill. Concat-slice shifts lower to cheap vector moves, unlike
-    pltpu.roll (full lane rotation, ~10x slower — r3 ablation)."""
-    S = x.shape[0]
-    z = jnp.zeros((S, k), jnp.float32)
-    down = jnp.concatenate([x[:, k:], z], axis=1)   # lane i <- i + k
-    up = jnp.concatenate([z, x[:, :-k]], axis=1)    # lane i <- i - k
-    return down, up
-
-
-def _butterfly_block_sum(x, Dg):
-    """(S, W*Dp) -> per-(pixel, group) block sums replicated across each
-    aligned Dg-lane block. Dg = m * 2^p (m in {1, 3}): hypercube
-    all-reduce over the 2^p sub-blocks, then a radix-3 combine. Shifts
-    never cross block boundaries for the lanes that select them, so the
-    zero-filled edges are harmless."""
-    m = 3 if Dg % 3 == 0 else 1
-    p2 = Dg // m
-    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    k = 1
-    while k < p2:
-        down, up = _shift_pair(x, k)
-        x = x + jnp.where((lanes % (2 * k)) < k, down, up)
-        k *= 2
-    if m == 3:
-        # each lane holds its p2-sub-block sum; add the other two
-        # sub-blocks of its 3*p2 group
-        d1, u1 = _shift_pair(x, p2)
-        d2, u2 = _shift_pair(x, 2 * p2)
-        b = lanes % Dg // p2
-        x = (x + jnp.where(b == 2, u1, d1)
-             + jnp.where(b == 0, d2, jnp.where(b == 1, u1, u2)))
-    return x
-
-
-def _planar_ln_kernel(H, W, K, D, Dg, dirs, u_ref, dt_ref, b_ref,
-                      c_ref, const_ref, out_ref):
-    Dp = K * Dg
-    u = u_ref[...].astype(jnp.float32)
-    dt = dt_ref[...].astype(jnp.float32)
-    Bv = b_ref[...].astype(jnp.float32)
-    Cv = c_ref[...].astype(jnp.float32)
-    # const rows (8, Dp): [A, dt_bias, D, ln_scale, ln_bias, 0, 0, 0]
-    A = jnp.tile(const_ref[0:1, :], (1, W))
-    bias = jnp.tile(const_ref[1:2, :], (1, W))
-    Dv = jnp.tile(const_ref[2:3, :], (1, W))
-    ln_s = jnp.tile(const_ref[3:4, :], (1, W))
-    ln_b = jnp.tile(const_ref[4:5, :], (1, W))
-
-    d = jax.nn.softplus(dt + bias)
-    a = jnp.exp(d * A)
-    b = d * u * Bv
-
-    grp = jax.lax.broadcasted_iota(jnp.int32, (H, W * Dp), 1) % Dp // Dg
-    h = jnp.zeros((H, W * Dp), jnp.float32)
-    scans = {}
-    for g, dirn in enumerate(dirs):
-        if dirn not in scans:
-            if dirn in (1, 3):
-                scans[dirn] = _rowmajor(a, b, H, W, Dp,
-                                        backward=(dirn == 3))
-            else:
-                scans[dirn] = _colmajor(a, b, H, W, Dp,
-                                        backward=(dirn == 4))
-        h = jnp.where(grp == g, scans[dirn], h)
-    y = Cv * h + Dv * u
-
-    # group-LN over each pixel's true D lanes (pad lanes hold y = 0)
-    inv = 1.0 / float(D)
-    m = _butterfly_block_sum(y, Dg) * inv
-    v = _butterfly_block_sum(y * y, Dg) * inv - m * m
-    out_ref[...] = ((y - m) * jax.lax.rsqrt(v + 1e-5) * ln_s
-                    + ln_b).astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("H", "W", "D", "directions",
-                                             "interpret"))
-def _planar_call(u, dt, Bexp, Cexp, consts, H, W, D, directions,
-                 interpret=False):
-    """u, dt, Bexp, Cexp: (B, L, Dp) planar padded; consts (8, Dp) fp32."""
-    B, L, Dp = u.shape
-    K = len(directions)
-    Dg = Dp // K
-    spec = pl.BlockSpec((None, H, W * Dp), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    view = lambda x: x.reshape(B, H, W * Dp)
-    return pl.pallas_call(
-        functools.partial(_planar_ln_kernel, H, W, K, D, Dg,
-                          tuple(int(d) for d in directions)),
-        grid=(B,),
-        in_specs=[spec] * 4 + [
-            pl.BlockSpec((8, Dp), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM)],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, W * Dp), u.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(view(u), view(dt), view(Bexp), view(Cexp),
-      consts).reshape(B, L, Dp)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
-def sscan_planar_ln(u, dt, Bexp, Cexp, A, bias, Dv, ln, H, W, D,
-                    directions):
-    """Fused planar scan + group-LN, zero-layout-op pallas boundary.
-
-    Lane layout: K = len(directions) group blocks of Dg = next_pow2(D)
-    lanes each (Dp = K*Dg total); group g's true channels sit in lanes
-    [g*Dg, g*Dg + D), pad lanes are zero. Group g is selective-scanned
-    (d_state = 1) along directions[g].
-
-    u, dt, Bexp, Cexp: (B, H*W, Dp) planar (low precision fine). Bexp /
-    Cexp are the per-pixel B/C scalars pre-broadcast over each group's
-    lanes — the caller builds them with lane-tiled GEMM weight columns
-    (models/ss2d.py:_quad_planar), so no expansion happens here or in
-    HBM. A (negative), bias, Dv, ln = (scale, offset): (K, D) fp32.
-
-    Returns the normalized (ungated) activation (B, H*W, Dp) planar in
-    u.dtype, pixel-ordered; pad lanes are zero, so the caller keeps the
-    padded width straight through the z-gate into a row-padded
-    out-projection GEMM (no unpad slice anywhere).
-    """
-    return _sscan_planar_ln_fwd(u, dt, Bexp, Cexp, A, bias, Dv, ln,
-                                H, W, D, directions)[0]
-
-
-def _planar_consts(A, bias, Dv, ln_s, ln_b, D, Dg):
-    rows = []
-    for r, padval in ((A, -1.0), (bias, 0.0), (Dv, 0.0),
-                      (ln_s, 0.0), (ln_b, 0.0)):
-        K = r.shape[0]
-        rows.append(jnp.pad(r.astype(jnp.float32).reshape(K, D),
-                            ((0, 0), (0, Dg - D)),
-                            constant_values=padval).reshape(K * Dg))
-    return jnp.pad(jnp.stack(rows), ((0, 3), (0, 0)))
-
-
-def _sscan_planar_ln_fwd(u, dt, Bexp, Cexp, A, bias, Dv, ln, H, W, D,
-                         directions):
-    interpret = jax.default_backend() != "tpu"
-    ln_s, ln_b = ln
-    K = len(directions)
-    Dg = u.shape[-1] // K
-    consts = _planar_consts(A, bias, Dv, ln_s, ln_b, D, Dg)
-    y = _planar_call(u, dt, Bexp, Cexp, consts, H, W, D,
-                     tuple(directions), interpret=interpret)
-    return y, (u, dt, Bexp, Cexp, A, bias, Dv, ln_s, ln_b)
-
-
-def _sscan_planar_ln_bwd(H, W, D, directions, res, go):
-    """Recompute-based backward, per group (same math as the v3 bwd; the
-    planar residuals are lane-sliced per group — backward-only copies).
-    Bexp/Cexp lanes within a group are identical, so their per-lane
-    cotangents are returned per lane and the lane-tiled weight
-    construction in the caller sums them back (exact adjoint)."""
-    u0, dt0, B0, C0, A, bias, Dv, ln_s, ln_b = res
-    interpret = jax.default_backend() != "tpu"
-    eps = 1e-5
-    K = len(directions)
-    Dg = u0.shape[-1] // K
-
-    per = {k: [] for k in ("du", "ddt", "dBs", "dCs",
-                           "dA", "dbias", "dD", "ds", "dt2")}
-    for k, dirn in enumerate(directions):
-        sl = slice(k * Dg, k * Dg + D)
-        u = u0[..., sl].astype(jnp.float32)
-        dt = dt0[..., sl].astype(jnp.float32)
-        Bf = B0[..., k * Dg:k * Dg + 1].astype(jnp.float32)  # (B, L, 1)
-        Cf = C0[..., k * Dg:k * Dg + 1].astype(jnp.float32)
-        g = go[..., sl].astype(jnp.float32)
-
-        pre = dt + bias[k]
-        d = jax.nn.softplus(pre)
-        a = jnp.exp(d * A[k])
-        b = d * u * Bf
-        h = _scan2d_kernel(a, b, H, W, dirn, interpret=interpret)
-        y = Cf * h + Dv[k] * u
-
-        mu = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.var(y, axis=-1, keepdims=True)
-        ir = jax.lax.rsqrt(var + eps)
-        yn = (y - mu) * ir
-
-        per["ds"].append(jnp.sum(g * yn, axis=(0, 1)))
-        per["dt2"].append(jnp.sum(g, axis=(0, 1)))
-        dyn = g * ln_s[k]
-        dy = ir * (dyn - jnp.mean(dyn, axis=-1, keepdims=True)
-                   - yn * jnp.mean(dyn * yn, axis=-1, keepdims=True))
-
-        per["dCs"].append(h * dy)
-        per["dD"].append(jnp.sum(u * dy, axis=(0, 1)))
-        gh = Cf * dy
-        da, db = _scan2d_bwd(H, W, dirn, (a, h), gh)
-
-        dd = db * u * Bf + (da * a) * A[k]
-        ddt = dd * jax.nn.sigmoid(pre)
-        per["du"].append(db * d * Bf + Dv[k] * dy)
-        per["dBs"].append(db * d * u)
-        per["dA"].append(jnp.sum(da * a * d, axis=(0, 1)))
-        per["dbias"].append(jnp.sum(ddt, axis=(0, 1)))
-        per["ddt"].append(ddt)
-
-    pad3 = ((0, 0), (0, 0), (0, Dg - D))
-    cat = lambda xs: jnp.concatenate(
-        [jnp.pad(x, pad3) for x in xs], axis=-1)
-    stk = lambda xs: jnp.stack(xs, axis=0)
-    cast = lambda x, r: x.astype(r.dtype)
-    return (cast(cat(per["du"]), u0), cast(cat(per["ddt"]), dt0),
-            cast(cat(per["dBs"]), B0), cast(cat(per["dCs"]), C0),
-            stk(per["dA"]), stk(per["dbias"]), stk(per["dD"]),
-            (stk(per["ds"]), stk(per["dt2"])))
-
-
-sscan_planar_ln.defvjp(_sscan_planar_ln_fwd, _sscan_planar_ln_bwd)

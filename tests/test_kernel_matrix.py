@@ -1,4 +1,4 @@
-"""Production-shape kernel matrix: the quad/planar scan kernels and the
+"""Production-shape kernel matrix: the quad scan kernels and the
 LGAG tap-conv at the sizes and dtypes the real model runs.
 
 The reference kernel suite sweeps seqlen 64..4096 x fp32/fp16/bf16 with
@@ -19,7 +19,7 @@ import numpy as np
 import pytest
 
 from ceigm_unet_tpu.ops.quad_scan import (
-    sscan_dir, sscan_planar_ln, _group_lanes)
+    sscan_dir)
 
 # reference tolerance table (test_selective_scan.py:398-401)
 TOL = {
@@ -127,117 +127,6 @@ def test_sscan_dir_grads_production_L3136(dtype):
             a, b, rtol=tol["rtol"], atol=tol["atol"] * scale,
             err_msg=f"{n} @ L=3136 {jnp.dtype(dtype).name}")
 
-
-def _planar_pack(u, dt, Bs, Cs, K, D, Dg):
-    """Group tensors (B, L, K, D) + per-group scalars (B, L, K) -> padded
-    planar (B, L, K*Dg) exactly as models/ss2d.py:_quad_planar lays out."""
-    B, L = u.shape[:2]
-    pad = ((0, 0), (0, 0), (0, 0), (0, Dg - D))
-    up = jnp.pad(u, pad).reshape(B, L, K * Dg)
-    dtp = jnp.pad(dt, pad).reshape(B, L, K * Dg)
-    Bexp = jnp.broadcast_to(Bs[..., None], (B, L, K, Dg)).reshape(
-        B, L, K * Dg)
-    Cexp = jnp.broadcast_to(Cs[..., None], (B, L, K, Dg)).reshape(
-        B, L, K * Dg)
-    return up, dtp, Bexp, Cexp
-
-
-def _ref_planar(u, dt, Bs, Cs, A, bias, Dv, ln_s, ln_b, H, W, dirs):
-    """Per-group fp32 reference: fused scan then group-LN."""
-    outs = []
-    for k, dirn in enumerate(dirs):
-        y = _ref_sscan(u[..., k, :], dt[..., k, :],
-                       Bs[..., k:k + 1], Cs[..., k:k + 1],
-                       A[k], bias[k], Dv[k], H, W, dirn)
-        mu = jnp.mean(y, axis=-1, keepdims=True)
-        var = jnp.var(y, axis=-1, keepdims=True)
-        outs.append((y - mu) * jax.lax.rsqrt(var + 1e-5)
-                    * ln_s[k] + ln_b[k])
-    return jnp.stack(outs, axis=2)  # (B, L, K, D)
-
-
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-@pytest.mark.parametrize("HWD", [(56, 56, 16),    # 224-sq stage-1 L=3136
-                                 (28, 28, 32),    # stage-2
-                                 (14, 14, 87)])   # stage-3 (radix-3 lanes)
-def test_planar_ln_production(HWD, dtype):
-    H, W, D = HWD
-    K = 4
-    dirs = (1, 2, 3, 4)
-    Dg = _group_lanes(D)
-    rng = np.random.default_rng(D)
-    B, L = 1, H * W
-    u4 = jnp.asarray(rng.standard_normal((B, L, K, D)), dtype)
-    dt4 = jnp.asarray(0.5 * rng.standard_normal((B, L, K, D)), dtype)
-    Bs = jnp.asarray(rng.standard_normal((B, L, K)), dtype)
-    Cs = jnp.asarray(rng.standard_normal((B, L, K)), dtype)
-    A = jnp.asarray(-np.exp(rng.standard_normal((K, D)) * 0.5), jnp.float32)
-    bias = jnp.asarray(rng.standard_normal((K, D)) * 0.1, jnp.float32)
-    Dv = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
-    ln_s = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
-    ln_b = jnp.asarray(rng.standard_normal((K, D)) * 0.1, jnp.float32)
-
-    up, dtp, Bexp, Cexp = _planar_pack(u4, dt4, Bs, Cs, K, D, Dg)
-    got = sscan_planar_ln(up, dtp, Bexp, Cexp, A, bias, Dv,
-                          (ln_s, ln_b), H, W, D, dirs)
-    got4 = np.asarray(got, np.float32).reshape(B, L, K, Dg)[..., :D]
-    pad = np.asarray(got, np.float32).reshape(B, L, K, Dg)[..., D:]
-    want = np.asarray(_ref_planar(
-        u4, dt4, Bs.astype(jnp.float32), Cs.astype(jnp.float32),
-        A, bias, Dv, ln_s, ln_b, H, W, dirs))
-    # LN output is O(1) by construction -> absolute tolerance is honest
-    np.testing.assert_allclose(got4, want, **TOL[dtype])
-    assert np.all(pad == 0.0), "pad lanes must stay zero for the out-proj"
-
-
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_planar_ln_grads_production(dtype):
-    """Planar custom VJP vs autodiff of the per-group reference at
-    stage-1 shape (56x56, D=16)."""
-    H = W = 56
-    D, K = 16, 4
-    dirs = (1, 2, 3, 4)
-    Dg = _group_lanes(D)
-    assert Dg == D
-    rng = np.random.default_rng(3)
-    B, L = 1, H * W
-    u4 = jnp.asarray(rng.standard_normal((B, L, K, D)), dtype)
-    dt4 = jnp.asarray(0.5 * rng.standard_normal((B, L, K, D)), dtype)
-    Bs = jnp.asarray(rng.standard_normal((B, L, K)), dtype)
-    Cs = jnp.asarray(rng.standard_normal((B, L, K)), dtype)
-    A = jnp.asarray(-np.exp(rng.standard_normal((K, D)) * 0.5), jnp.float32)
-    bias = jnp.asarray(rng.standard_normal((K, D)) * 0.1, jnp.float32)
-    Dv = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
-    ln_s = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
-    ln_b = jnp.asarray(rng.standard_normal((K, D)) * 0.1, jnp.float32)
-    ct = jnp.asarray(rng.standard_normal((B, L, K, D)), jnp.float32)
-
-    def loss_kernel(u4, dt4, Bs, Cs, A, bias, Dv, ln_s, ln_b):
-        up, dtp, Bexp, Cexp = _planar_pack(u4, dt4, Bs, Cs, K, D, Dg)
-        y = sscan_planar_ln(up, dtp, Bexp, Cexp, A, bias, Dv,
-                            (ln_s, ln_b), H, W, D, dirs)
-        y4 = y.astype(jnp.float32).reshape(B, L, K, Dg)[..., :D]
-        return jnp.sum(y4 * ct)
-
-    def loss_ref(u4, dt4, Bs, Cs, A, bias, Dv, ln_s, ln_b):
-        y = _ref_planar(u4, dt4, Bs.astype(jnp.float32),
-                        Cs.astype(jnp.float32), A, bias, Dv, ln_s, ln_b,
-                        H, W, dirs)
-        return jnp.sum(y * ct)
-
-    args = (u4, dt4, Bs, Cs, A, bias, Dv, ln_s, ln_b)
-    gk = jax.grad(loss_kernel, argnums=tuple(range(9)))(*args)
-    gr = jax.grad(loss_ref, argnums=tuple(range(9)))(*args)
-    names = ("du", "ddt", "dBs", "dCs", "dA", "dbias", "dD", "dls", "dlb")
-    for n, a, b in zip(names, gk, gr):
-        tol = TOLW[dtype] if n in ("dA", "dbias", "dD", "dls", "dlb") \
-            else TOL[dtype]
-        a = np.asarray(a, np.float32)
-        b = np.asarray(b, np.float32)
-        scale = max(1.0, np.abs(b).max())
-        np.testing.assert_allclose(
-            a, b, rtol=tol["rtol"], atol=tol["atol"] * scale,
-            err_msg=f"{n} planar @ 56x56 {jnp.dtype(dtype).name}")
 
 
 def test_sscan_dir_smoke_L16384_bf16():

@@ -43,7 +43,7 @@ def run_variant(flag: str, on: bool, B: int, hw: int):
 
 
 def main():
-    flag = sys.argv[1] if len(sys.argv) > 1 else "CEIGM_FFN"
+    flag = sys.argv[1] if len(sys.argv) > 1 else "CEIGM_BLAST"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     hw = int(sys.argv[3]) if len(sys.argv) > 3 else 224
     t_off = run_variant(flag, False, B, hw)
